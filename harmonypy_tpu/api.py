@@ -1,0 +1,332 @@
+"""Public API: run_harmony() driver + Harmony result object.
+
+Drop-in compatible with the reference surface (harmony.py:49-215, 218-355):
+same signature, same hyper-parameter broadcasting rules, same defaults, same
+NumPy-returning properties and objective histories. The `device` argument
+accepts a JAX platform string ("tpu", "cpu") instead of torch device names;
+a `mesh` kwarg additionally allows running over an explicit device mesh.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+import jax
+
+from .config import EngineConfig
+from .engine import get_engine
+from .state import HarmonyParams, HarmonyState
+from .parallel.mesh import default_mesh, make_mesh
+from .parallel.sharding import shard_inputs
+from .utils.logging import logger
+from .utils.checkpoint import save_state
+
+
+def run_harmony(
+    data_mat,
+    meta_data: pd.DataFrame,
+    vars_use,
+    theta=None,
+    lamb=None,
+    sigma=0.1,
+    nclust=None,
+    tau=0,
+    block_size=0.05,
+    max_iter_harmony=10,
+    max_iter_kmeans=20,
+    epsilon_cluster=1e-5,
+    epsilon_harmony=1e-4,
+    alpha=0.2,
+    verbose=True,
+    random_state=0,
+    device=None,
+    mesh=None,
+    checkpoint_dir=None,
+):
+    """Run Harmony batch-effect correction on TPU (or any JAX backend).
+
+    Mirrors the reference driver (harmony.py:49-215): input orientation
+    fix-up, one-hot design-matrix construction, theta/lambda/sigma
+    broadcasting, tau discounting, seeding, logging, then the full eager fit.
+
+    Extra (TPU-native) parameters:
+      mesh            explicit jax.sharding.Mesh with a "cells" axis; default
+                      is all devices of `device`'s platform.
+      checkpoint_dir  if set, snapshot the state pytree after every harmony
+                      iteration (resume support the reference lacks).
+    """
+    N = meta_data.shape[0]
+    data_mat = np.asarray(data_mat.values if hasattr(data_mat, "values") else data_mat)
+    if data_mat.shape[1] != N:
+        data_mat = data_mat.T
+    assert data_mat.shape[1] == N, \
+        "data_mat and meta_data do not have the same number of cells"
+
+    if nclust is None:
+        nclust = int(min(round(N / 30.0), 100))
+
+    if isinstance(sigma, (float, int)) and nclust > 1:
+        sigma = np.repeat(float(sigma), nclust)
+    sigma = np.asarray(sigma, dtype=np.float32).reshape(-1)
+    if sigma.size == 1 and nclust > 1:
+        sigma = np.repeat(sigma, nclust)
+
+    if isinstance(vars_use, str):
+        vars_use = [vars_use]
+
+    # One-hot design matrix (reference harmony.py:133-134). Categorical
+    # conversion makes numeric batch columns work too; for string columns the
+    # level order (sorted) matches pd.get_dummies on the raw frame.
+    cats = meta_data[vars_use].astype("category")
+    phi = pd.get_dummies(cats).to_numpy().T.astype(np.float32)
+    phi_n = cats.nunique().to_numpy().astype(int)
+
+    # Theta broadcasting (reference harmony.py:136-147).
+    if theta is None:
+        theta = np.repeat([2] * len(phi_n), phi_n).astype(np.float32)
+    elif isinstance(theta, (float, int)):
+        theta = np.repeat([theta] * len(phi_n), phi_n).astype(np.float32)
+    elif len(theta) == len(phi_n):
+        theta = np.repeat([theta], phi_n).astype(np.float32)
+    else:
+        theta = np.asarray(theta, dtype=np.float32)
+    assert len(theta) == np.sum(phi_n), "each batch variable must have a theta"
+
+    # Lambda broadcasting (reference harmony.py:149-166).
+    lambda_estimation = False
+    if lamb is None:
+        lamb = np.repeat([1] * len(phi_n), phi_n).astype(np.float32)
+        lamb = np.insert(lamb, 0, 0).astype(np.float32)
+    elif np.isscalar(lamb) and lamb == -1:
+        lambda_estimation = True
+        lamb = np.zeros(1, dtype=np.float32)
+    elif isinstance(lamb, (float, int)):
+        lamb = np.repeat([lamb] * len(phi_n), phi_n).astype(np.float32)
+        lamb = np.insert(lamb, 0, 0).astype(np.float32)
+    elif len(lamb) == len(phi_n):
+        lamb = np.repeat([lamb], phi_n).astype(np.float32)
+        lamb = np.insert(lamb, 0, 0).astype(np.float32)
+    else:
+        lamb = np.asarray(lamb, dtype=np.float32)
+        if len(lamb) == np.sum(phi_n):
+            lamb = np.insert(lamb, 0, 0).astype(np.float32)
+
+    # Batch proportions + tau discount (reference harmony.py:169-173).
+    N_b = phi.sum(axis=1)
+    Pr_b = (N_b / N).astype(np.float32)
+    if tau > 0:
+        theta = theta * (1 - np.exp(-(N_b / (nclust * tau)) ** 2))
+        theta = theta.astype(np.float32)
+
+    if mesh is None:
+        mesh = default_mesh(device)
+
+    if verbose:
+        logger.info(f"Running Harmony (JAX on {mesh.devices.size} "
+                    f"{mesh.devices.flat[0].platform} device(s))")
+        logger.info("  Parameters:")
+        logger.info(f"    max_iter_harmony: {max_iter_harmony}")
+        logger.info(f"    max_iter_kmeans: {max_iter_kmeans}")
+        logger.info(f"    epsilon_cluster: {epsilon_cluster}")
+        logger.info(f"    epsilon_harmony: {epsilon_harmony}")
+        logger.info(f"    nclust: {nclust}")
+        logger.info(f"    block_size: {block_size}")
+        if lambda_estimation:
+            logger.info(f"    lamb: dynamic (alpha={alpha})")
+        else:
+            logger.info(f"    lamb: {lamb[1:]}")
+        logger.info(f"    theta: {theta}")
+        logger.info(f"    sigma: {sigma[:5]}..." if len(sigma) > 5 else f"    sigma: {sigma}")
+        logger.info(f"    random_state: {random_state}")
+        logger.info(f"  Data: {data_mat.shape[0]} PCs × {N} cells")
+        logger.info(f"  Batch variables: {vars_use}")
+
+    data_mat = np.asarray(data_mat, dtype=np.float32)
+
+    return Harmony(
+        data_mat, phi, Pr_b, sigma.astype(np.float32),
+        theta, lamb, alpha, lambda_estimation,
+        max_iter_harmony, max_iter_kmeans,
+        epsilon_cluster, epsilon_harmony, nclust, block_size, verbose,
+        random_state, device, mesh=mesh, checkpoint_dir=checkpoint_dir,
+    )
+
+
+class Harmony:
+    """Eagerly-fitted Harmony result (reference class Harmony,
+    harmony.py:218-355): the constructor runs the full pipeline; results are
+    read through NumPy-returning, cells-first properties."""
+
+    def __init__(self, Z, Phi, Pr_b, sigma, theta, lamb, alpha,
+                 lambda_estimation, max_iter_harmony, max_iter_kmeans,
+                 epsilon_kmeans, epsilon_harmony, K, block_size, verbose,
+                 random_state, device=None, *, mesh=None, checkpoint_dir=None):
+        Z = np.asarray(Z, dtype=np.float32)
+        Phi = np.asarray(Phi, dtype=np.float32)
+        if mesh is None:
+            mesh = make_mesh() if device is None else default_mesh(device)
+        self.mesh = mesh
+
+        self.N = Z.shape[1]
+        self.d = Z.shape[0]
+        self.B = Phi.shape[0]
+        self.K = K
+        self.window_size = 3
+        self.epsilon_kmeans = epsilon_kmeans
+        self.epsilon_harmony = epsilon_harmony
+        self.block_size = block_size
+        self.alpha = alpha
+        self.lambda_estimation = lambda_estimation
+        self.max_iter_harmony = max_iter_harmony
+        self.max_iter_kmeans = max_iter_kmeans
+        self.verbose = verbose
+
+        cfg = EngineConfig(
+            N=self.N, d=self.d, K=K, B=self.B,
+            n_devices=int(mesh.devices.size),
+            max_iter_harmony=max_iter_harmony,
+            max_iter_kmeans=max_iter_kmeans,
+            epsilon_kmeans=float(epsilon_kmeans),
+            epsilon_harmony=float(epsilon_harmony),
+            window_size=self.window_size,
+            block_size=float(block_size),
+            alpha=float(alpha),
+            lambda_estimation=bool(lambda_estimation),
+        )
+        self.cfg = cfg
+        engine = get_engine(cfg, mesh)
+
+        params = HarmonyParams(
+            theta=jax.numpy.asarray(theta, jax.numpy.float32),
+            sigma=jax.numpy.asarray(sigma, jax.numpy.float32),
+            lamb=jax.numpy.asarray(
+                lamb if len(np.atleast_1d(lamb)) == self.B + 1
+                else np.zeros(self.B + 1), jax.numpy.float32),
+            Pr_b=jax.numpy.asarray(Pr_b, jax.numpy.float32),
+        )
+        self._params = params
+        self._data = shard_inputs(Z, Phi, cfg, mesh)
+        self._lamb_raw = np.asarray(lamb, dtype=np.float32)
+
+        key = jax.random.PRNGKey(random_state)
+        state = engine.init_fn(self._data, params, key)
+
+        for i in range(1, max_iter_harmony + 1):
+            if verbose:
+                logger.info(f"Iteration {i} of {max_iter_harmony}")
+            state = engine.iter_fn(state, self._data, params)
+            if checkpoint_dir is not None:
+                save_state(f"{checkpoint_dir}/harmony_iter_{i}.npz", state)
+            if bool(state.converged):
+                if verbose:
+                    logger.info(
+                        f"Converged after {i} iteration{'s' if i > 1 else ''}")
+                break
+        else:
+            if verbose:
+                logger.info("Stopped before convergence")
+
+        self.state: HarmonyState = jax.block_until_ready(state)
+
+    # ---- observability histories (reference harmony.py:273-278) ---------
+    @property
+    def objective_harmony(self):
+        n = int(self.state.n_harmony)
+        return list(np.asarray(self.state.obj_harmony[:n], dtype=np.float64))
+
+    @property
+    def objective_kmeans(self):
+        n = int(self.state.n_kmeans)
+        return list(np.asarray(self.state.obj_kmeans[:n], dtype=np.float64))
+
+    @property
+    def objective_kmeans_dist(self):
+        n = int(self.state.n_kmeans)
+        return list(np.asarray(self.state.obj_dist[:n], dtype=np.float64))
+
+    @property
+    def objective_kmeans_entropy(self):
+        n = int(self.state.n_kmeans)
+        return list(np.asarray(self.state.obj_entropy[:n], dtype=np.float64))
+
+    @property
+    def objective_kmeans_cross(self):
+        n = int(self.state.n_kmeans)
+        return list(np.asarray(self.state.obj_cross[:n], dtype=np.float64))
+
+    @property
+    def kmeans_rounds(self):
+        n = int(self.state.n_rounds)
+        return [int(x) for x in np.asarray(self.state.kmeans_rounds[:n])]
+
+    # ---- NumPy-view properties (reference harmony.py:288-355) -----------
+    def _cells(self, arr) -> np.ndarray:
+        """Strip cell padding and transpose to cells-first layout."""
+        return np.asarray(arr)[:, : self.N].T
+
+    @property
+    def Z_corr(self):
+        """Corrected embedding (N x d)."""
+        return self._cells(self.state.Z_corr)
+
+    @property
+    def Z_orig(self):
+        """Original embedding (N x d)."""
+        return self._cells(self._data.Z_orig)
+
+    @property
+    def Z_cos(self):
+        """L2-normalized embedding (N x d)."""
+        return self._cells(self.state.Z_cos)
+
+    @property
+    def R(self):
+        """Soft cluster assignments (N x K)."""
+        return self._cells(self.state.R)
+
+    @property
+    def Y(self):
+        """Cluster centroids (d x K)."""
+        return np.asarray(self.state.Y)
+
+    @property
+    def O(self):
+        """Observed batch-cluster counts (K x B)."""
+        return np.asarray(self.state.O)
+
+    @property
+    def E(self):
+        """Expected batch-cluster counts (K x B)."""
+        return np.asarray(self.state.E)
+
+    @property
+    def Phi(self):
+        """Batch indicator matrix (N x B)."""
+        return self._cells(self._data.Phi)
+
+    @property
+    def Phi_moe(self):
+        """Batch indicator with intercept column (N x (B+1))."""
+        return np.concatenate(
+            [np.ones((self.N, 1), np.float32), self.Phi], axis=1)
+
+    @property
+    def Pr_b(self):
+        return np.asarray(self._params.Pr_b)
+
+    @property
+    def theta(self):
+        return np.asarray(self._params.theta)
+
+    @property
+    def sigma(self):
+        return np.asarray(self._params.sigma)
+
+    @property
+    def lamb(self):
+        return self._lamb_raw
+
+    def result(self):
+        """Corrected data as a NumPy array (N x d)."""
+        return self.Z_corr

@@ -1,0 +1,118 @@
+"""Static configuration for the Harmony TPU engine.
+
+Everything in :class:`EngineConfig` is a *static* (hashable) quantity: array
+shapes, loop bounds, convergence thresholds and padding geometry. It is part
+of the jit cache key, so two runs with the same config reuse the compiled
+executable.
+
+The hyper-parameter *arrays* (theta, sigma, lamb, Pr_b) are runtime inputs and
+live in :class:`harmonypy_tpu.state.HarmonyParams` instead.
+
+Reference behavior being mirrored (see /root/reference/harmonypy/harmony.py):
+  - block geometry: ``n_blocks = ceil(1/block_size)``,
+    ``cells_per_block = int(N * block_size)``, last block takes the remainder
+    (harmony.py:474-484).
+  - defaults: sigma=0.1, block_size=0.05, max_iter_harmony=10,
+    max_iter_kmeans=20, epsilon_cluster=1e-5, epsilon_harmony=1e-4, alpha=0.2,
+    window_size=3 (harmony.py:49-67, 258).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+
+def cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def round_up(x: int, m: int) -> int:
+    return cdiv(x, m) * m
+
+
+@dataclasses.dataclass(frozen=True)
+class EngineConfig:
+    """Hashable static geometry + loop bounds for one Harmony problem."""
+
+    # Problem shape.
+    N: int            # true number of cells
+    d: int            # number of PCs
+    K: int            # number of clusters
+    B: int            # number of batch levels (rows of Phi, without intercept)
+    n_devices: int    # size of the "cells" mesh axis
+
+    # Algorithm loop bounds / thresholds (static: part of compile key).
+    max_iter_harmony: int = 10
+    max_iter_kmeans: int = 20
+    epsilon_kmeans: float = 1e-5
+    epsilon_harmony: float = 1e-4
+    window_size: int = 3
+    block_size: float = 0.05
+    alpha: float = 0.2
+    lambda_estimation: bool = False
+
+    # KMeans init (mirrors sklearn.KMeans(init='k-means++', n_init=1,
+    # max_iter=25) used at reference harmony.py:370-372).
+    kmeans_max_iter: int = 25
+    kmeans_tol: float = 1e-4
+
+    # Matmul precision for jnp.dot/einsum ("float32" = full fp32 on MXU).
+    matmul_precision: str = "float32"
+
+    # ---- derived geometry ------------------------------------------------
+    @property
+    def N_pad(self) -> int:
+        """Cells padded up so every device holds the same count."""
+        return round_up(self.N, self.n_devices)
+
+    @property
+    def N_local(self) -> int:
+        return self.N_pad // self.n_devices
+
+    @property
+    def B1(self) -> int:
+        """Rows of Phi_moe (intercept + batch levels)."""
+        return self.B + 1
+
+    # Block geometry, computed per shard. With one device this reproduces the
+    # reference geometry exactly (harmony.py:474-484).
+    @property
+    def n_blocks(self) -> int:
+        return int(math.ceil(1.0 / self.block_size))
+
+    @property
+    def cells_per_block(self) -> int:
+        return int(self.N_local * self.block_size)
+
+    @property
+    def last_block(self) -> int:
+        """Size of the final block (takes the remainder)."""
+        return self.N_local - (self.n_blocks - 1) * self.cells_per_block
+
+    @property
+    def block_width(self) -> int:
+        """Static width of the per-block work arrays (masked to actual size)."""
+        return max(self.cells_per_block, self.last_block)
+
+    # History buffer sizes (ring buffers carried in the state pytree).
+    @property
+    def kmeans_hist_len(self) -> int:
+        # one objective at init + up to max_iter_kmeans per harmony iteration
+        return 1 + self.max_iter_harmony * self.max_iter_kmeans
+
+    @property
+    def harmony_hist_len(self) -> int:
+        return 1 + self.max_iter_harmony
+
+    @property
+    def kmeanspp_trials(self) -> int:
+        """Greedy k-means++ candidate count (sklearn: 2 + floor(log(K)))."""
+        return 2 + int(math.log(self.K)) if self.K > 1 else 1
+
+    def validate(self) -> None:
+        assert self.N >= 1 and self.d >= 1 and self.K >= 1 and self.B >= 1
+        assert self.n_devices >= 1
+        assert 0.0 < self.block_size <= 1.0
+        # Last block must be non-negative; guaranteed by n_blocks = ceil(1/bs).
+        assert self.last_block >= 0, (self.N_local, self.n_blocks, self.cells_per_block)

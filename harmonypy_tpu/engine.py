@@ -1,0 +1,240 @@
+"""The Harmony algorithm engine: jitted, shard_map'd step functions.
+
+Control-flow mapping from the reference (harmony.py:419-462):
+
+  reference harmonize()  ->  host-side loop over HarmonyEngine.iter_fn
+                             (max 10 calls; enables per-iteration logging and
+                             checkpointing at negligible dispatch cost)
+  reference cluster()    ->  in-graph lax.while_loop (up to max_iter_kmeans
+                             fuzzy k-means rounds, windowed convergence)
+  reference update_R()   ->  lax.scan over sequential blocks (ops/update_r.py)
+  reference moe_correct_ridge() -> K-batched Cholesky solve (ops/ridge.py)
+  reference init_cluster() + sklearn KMeans -> on-device k-means++ + Lloyd
+                             (ops/kmeans.py)
+
+Every function here executes under jax.shard_map over a 1-D device mesh with
+axis "cells": Z/R/Phi are sharded along cells, Y/O/E and all convergence
+scalars are replicated, and the only cross-device traffic is psum/all_gather
+of O(d*K + K*B) floats per step (SURVEY.md C19).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .config import EngineConfig
+from .state import HarmonyData, HarmonyParams, HarmonyState, append, empty_histories
+from .ops.normalize import l2_normalize_cols
+from .ops.kmeans import kmeans_init
+from .ops.update_r import compute_scale_dist, update_r
+from .ops.ridge import moe_correct_ridge
+from .ops.objective import compute_objective_terms
+
+AXIS = "cells"
+
+
+def _check_conv_kmeans(obj_buf, n, cfg: EngineConfig):
+    """Windowed k-means convergence (reference check_convergence type 0,
+    harmony.py:516-523). `n` is the count after the latest append."""
+    w = cfg.window_size
+    enough = n >= w + 2
+    lo = jnp.maximum(n - w - 1, 0)
+    obj_old = jnp.sum(lax.dynamic_slice(obj_buf, (lo,), (w,)))
+    obj_new = jnp.sum(lax.dynamic_slice(obj_buf, (jnp.maximum(n - w, 0),), (w,)))
+    rel = jnp.abs(obj_old - obj_new) / jnp.abs(obj_old)
+    return jnp.logical_and(enough, rel < cfg.epsilon_kmeans)
+
+
+def _check_conv_harmony(obj_h, n, cfg: EngineConfig):
+    """Signed harmony convergence (reference type 1, harmony.py:525-531):
+    an objective *increase* also counts as converged."""
+    enough = n >= 2
+    obj_old = obj_h[jnp.maximum(n - 2, 0)]
+    obj_new = obj_h[jnp.maximum(n - 1, 0)]
+    rel = (obj_old - obj_new) / jnp.abs(obj_old)
+    return jnp.logical_and(enough, rel < cfg.epsilon_harmony)
+
+
+class _KmeansCarry(NamedTuple):
+    R: jax.Array
+    Y: jax.Array
+    O: jax.Array
+    E: jax.Array
+    key: jax.Array
+    obj_kmeans: jax.Array
+    obj_dist: jax.Array
+    obj_entropy: jax.Array
+    obj_cross: jax.Array
+    n_kmeans: jax.Array
+    i: jax.Array
+    converged: jax.Array
+
+
+class HarmonyEngine:
+    """Compiles and caches the init / per-iteration step functions for one
+    (config, mesh) pair."""
+
+    def __init__(self, cfg: EngineConfig, mesh: Mesh):
+        cfg.validate()
+        assert mesh.devices.size == cfg.n_devices, (mesh, cfg.n_devices)
+        self.cfg = cfg
+        self.mesh = mesh
+
+        s2 = P(None, AXIS)   # (x, N) sharded on cells
+        s1 = P(AXIS)         # (N,) sharded
+        rep = P()            # replicated
+
+        self.data_specs = HarmonyData(Z_orig=s2, Phi=s2, mask=s1)
+        self.params_specs = HarmonyParams(theta=rep, sigma=rep, lamb=rep, Pr_b=rep)
+        self.state_specs = HarmonyState(
+            Z_corr=s2, Z_cos=s2, R=s2,
+            Y=rep, O=rep, E=rep, key=rep,
+            obj_kmeans=rep, obj_dist=rep, obj_entropy=rep, obj_cross=rep,
+            n_kmeans=rep, obj_harmony=rep, n_harmony=rep,
+            kmeans_rounds=rep, n_rounds=rep, converged=rep,
+        )
+
+        init = jax.shard_map(
+            self._init_impl, mesh=mesh,
+            in_specs=(self.data_specs, self.params_specs, rep),
+            out_specs=self.state_specs,
+        )
+        step = jax.shard_map(
+            self._iter_impl, mesh=mesh,
+            in_specs=(self.state_specs, self.data_specs, self.params_specs),
+            out_specs=self.state_specs,
+        )
+        self.init_fn = jax.jit(init)
+        self.iter_fn = jax.jit(step, donate_argnums=0)
+
+    # ---- sharding helpers (host side) -----------------------------------
+    def data_shardings(self) -> HarmonyData:
+        return jax.tree.map(
+            lambda spec: NamedSharding(self.mesh, spec), self.data_specs,
+            is_leaf=lambda x: isinstance(x, P),
+        )
+
+    # ---- implementations (run under shard_map) --------------------------
+    def _objective_append(self, hist, R, dist_mat, O, E, Phi, params):
+        """hist = (obj_kmeans, obj_dist, obj_entropy, obj_cross, n)."""
+        obj_kmeans, obj_dist, obj_entropy, obj_cross, n = hist
+        ke, ent, cross = compute_objective_terms(
+            R, dist_mat, O, E, Phi, params, self.cfg, AXIS)
+        obj_kmeans, _ = append(obj_kmeans, n, ke + ent + cross)
+        obj_dist, _ = append(obj_dist, n, ke)
+        obj_entropy, _ = append(obj_entropy, n, ent)
+        obj_cross, n = append(obj_cross, n, cross)
+        return (obj_kmeans, obj_dist, obj_entropy, obj_cross, n)
+
+    def _init_impl(self, data: HarmonyData, params: HarmonyParams, key):
+        cfg = self.cfg
+        with jax.default_matmul_precision(cfg.matmul_precision):
+            Z_orig, Phi, mask = data
+            Z_cos = l2_normalize_cols(Z_orig)        # reference harmony.py:238
+
+            key, k_init = jax.random.split(key)
+            # k-means++ + Lloyd centroids (replaces sklearn, harmony.py:366-374)
+            Y = kmeans_init(k_init, Z_cos, mask, cfg, AXIS)
+            Y = l2_normalize_cols(Y)                 # harmony.py:377
+
+            dist_mat = 2.0 * (1.0 - Y.T @ Z_cos)     # harmony.py:380
+            R = compute_scale_dist(dist_mat, params.sigma)  # harmony.py:383-385
+            R = R * mask[None, :]                    # padding carries no mass
+
+            # Batch diversity statistics (harmony.py:388-389).
+            E = jnp.outer(lax.psum(jnp.sum(R, axis=1), AXIS), params.Pr_b)
+            O = lax.psum(R @ Phi.T, AXIS)
+
+            hist = empty_histories(cfg)
+            kh = self._objective_append(
+                (hist["obj_kmeans"], hist["obj_dist"], hist["obj_entropy"],
+                 hist["obj_cross"], hist["n_kmeans"]),
+                R, dist_mat, O, E, Phi, params)
+            obj_kmeans, obj_dist, obj_entropy, obj_cross, n_kmeans = kh
+            # harmony.py:392 — first harmony objective = first kmeans objective
+            obj_harmony, n_harmony = append(
+                hist["obj_harmony"], hist["n_harmony"], obj_kmeans[n_kmeans - 1])
+
+            return HarmonyState(
+                Z_corr=Z_orig, Z_cos=Z_cos, R=R, Y=Y, O=O, E=E, key=key,
+                obj_kmeans=obj_kmeans, obj_dist=obj_dist,
+                obj_entropy=obj_entropy, obj_cross=obj_cross, n_kmeans=n_kmeans,
+                obj_harmony=obj_harmony, n_harmony=n_harmony,
+                kmeans_rounds=hist["kmeans_rounds"], n_rounds=hist["n_rounds"],
+                converged=hist["converged"],
+            )
+
+    def _iter_impl(self, state: HarmonyState, data: HarmonyData,
+                   params: HarmonyParams) -> HarmonyState:
+        """One harmony iteration: cluster() + moe_correct_ridge() + type-1
+        convergence check (reference harmonize() body, harmony.py:421-428)."""
+        cfg = self.cfg
+        with jax.default_matmul_precision(cfg.matmul_precision):
+            Z_orig, Phi, mask = data
+
+            # ---- cluster(): fuzzy k-means loop (harmony.py:437-462) -----
+            def body(c: _KmeansCarry) -> _KmeansCarry:
+                Y = l2_normalize_cols(
+                    lax.psum(state.Z_cos @ c.R.T, AXIS))     # harmony.py:443-444
+                dist_mat = 2.0 * (1.0 - Y.T @ state.Z_cos)   # harmony.py:447
+                key, k_r = jax.random.split(c.key)
+                R, E, O = update_r(k_r, c.R, dist_mat, Phi, c.E, c.O,
+                                   params, cfg, mask, AXIS)  # harmony.py:450
+                hist = self._objective_append(
+                    (c.obj_kmeans, c.obj_dist, c.obj_entropy, c.obj_cross,
+                     c.n_kmeans),
+                    R, dist_mat, O, E, Phi, params)          # harmony.py:453
+                obj_kmeans, obj_dist, obj_entropy, obj_cross, n_kmeans = hist
+                conv = jnp.logical_and(
+                    c.i > cfg.window_size,
+                    _check_conv_kmeans(obj_kmeans, n_kmeans, cfg))
+                return _KmeansCarry(R, Y, O, E, key, obj_kmeans, obj_dist,
+                                    obj_entropy, obj_cross, n_kmeans,
+                                    c.i + 1, conv)
+
+            def cond(c: _KmeansCarry):
+                return jnp.logical_and(c.i < cfg.max_iter_kmeans,
+                                       jnp.logical_not(c.converged))
+
+            carry = _KmeansCarry(
+                R=state.R, Y=state.Y, O=state.O, E=state.E, key=state.key,
+                obj_kmeans=state.obj_kmeans, obj_dist=state.obj_dist,
+                obj_entropy=state.obj_entropy, obj_cross=state.obj_cross,
+                n_kmeans=state.n_kmeans, i=jnp.int32(0),
+                converged=jnp.zeros((), jnp.bool_))
+            carry = lax.while_loop(cond, body, carry)
+
+            kmeans_rounds, n_rounds = append(
+                state.kmeans_rounds, state.n_rounds, carry.i)  # harmony.py:461
+            obj_harmony, n_harmony = append(
+                state.obj_harmony, state.n_harmony,
+                carry.obj_kmeans[carry.n_kmeans - 1])          # harmony.py:462
+
+            # ---- moe_correct_ridge() (harmony.py:535-569) ---------------
+            Z_corr = moe_correct_ridge(Z_orig, Phi, carry.R, carry.E,
+                                       params, cfg, mask, AXIS)
+            Z_cos = l2_normalize_cols(Z_corr)                  # harmony.py:569
+
+            converged = _check_conv_harmony(obj_harmony, n_harmony, cfg)
+
+            return HarmonyState(
+                Z_corr=Z_corr, Z_cos=Z_cos, R=carry.R, Y=carry.Y,
+                O=carry.O, E=carry.E, key=carry.key,
+                obj_kmeans=carry.obj_kmeans, obj_dist=carry.obj_dist,
+                obj_entropy=carry.obj_entropy, obj_cross=carry.obj_cross,
+                n_kmeans=carry.n_kmeans,
+                obj_harmony=obj_harmony, n_harmony=n_harmony,
+                kmeans_rounds=kmeans_rounds, n_rounds=n_rounds,
+                converged=converged,
+            )
+
+
+@functools.lru_cache(maxsize=32)
+def get_engine(cfg: EngineConfig, mesh: Mesh) -> HarmonyEngine:
+    return HarmonyEngine(cfg, mesh)

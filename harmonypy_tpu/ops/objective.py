@@ -1,0 +1,40 @@
+"""Harmony objective (reference compute_objective, harmony.py:394-417).
+
+    J = [ sum(R * dist)                              (k-means error)
+        + sum(sigma * R * log R)                     (entropy)
+        + sum(sigma * R * (theta * log((O+E)/E)) Phi)  (diversity cross term)
+        ] * 2000 / N
+
+O and E are clamped at 1e-8 before the ratio (reference :407-409). The three
+terms are returned separately because the reference exposes them as separate
+history lists (harmony.py:414-417).
+
+Cell-axis sums are shard-local followed by a scalar psum (C19).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from jax import lax
+
+from ..config import EngineConfig
+from ..state import HarmonyParams
+from .normalize import safe_entropy
+
+CLAMP = 1e-8
+
+
+def compute_objective_terms(R, dist_mat, O, E, Phi, params: HarmonyParams,
+                            cfg: EngineConfig, axis_name):
+    """Returns (kmeans_error, entropy, cross_entropy), each * 2000/N."""
+    norm_const = jnp.float32(2000.0 / cfg.N)
+    sigma_col = params.sigma[:, None]
+
+    kmeans_error = lax.psum(jnp.sum(R * dist_mat), axis_name)
+    entropy = lax.psum(jnp.sum(safe_entropy(R) * sigma_col), axis_name)
+
+    ratio = (jnp.maximum(O, CLAMP) + jnp.maximum(E, CLAMP)) / jnp.maximum(E, CLAMP)
+    theta_log = params.theta[None, :] * jnp.log(ratio)          # (K, B)
+    cross = lax.psum(jnp.sum((R * sigma_col) * (theta_log @ Phi)), axis_name)
+
+    return kmeans_error * norm_const, entropy * norm_const, cross * norm_const

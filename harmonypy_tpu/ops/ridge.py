@@ -1,0 +1,78 @@
+"""Mixture-of-experts ridge correction, K-batched.
+
+Mirrors reference moe_correct_ridge (harmony.py:535-569): for every cluster k
+
+    W_k = (Phi_moe diag(R_k) Phi_moe^T + diag(lambda_k))^{-1}
+          Phi_moe diag(R_k) Z_orig^T
+    W_k[0, :] = 0                      (keep the intercept)
+    Z_corr -= W_k^T (Phi_moe * R_k)
+
+The reference runs a Python loop over K clusters with torch.linalg.inv
+(harmony.py:539-566). Here all K systems are built with batched GEMMs and
+solved with one batched Cholesky — the K loop disappears and everything runs
+on the MXU:
+
+  - normal equations  cov[k] (B1, B1) and rhs[k] (B1, d) are accumulated
+    shard-locally as B1 skinny GEMMs over the cell axis, then psum'd
+    (the C19 reduction points; O(K * B1 * (B1 + d)) floats per iteration).
+  - lambda: static vector, or the dynamic per-cluster alpha * E[k] rule when
+    lambda estimation is on (reference find_lambda_torch, :587-591).
+  - the correction sum_k W_k^T (Phi_moe * R_k) is applied shard-locally as B1
+    GEMMs, avoiding any (K, B1, N) intermediate.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..config import EngineConfig
+from ..state import HarmonyParams
+
+
+def moe_correct_ridge(Z_orig, Phi, R, E, params: HarmonyParams,
+                      cfg: EngineConfig, mask, axis_name):
+    """Returns Z_corr = Z_orig - correction (shard-local columns).
+
+    Z_orig: (d, N_local), Phi: (B, N_local), R: (K, N_local) — sharded.
+    E: (K, B) replicated. mask: (N_local,) zeroes padded cells out of the
+    intercept row.
+    """
+    K, B1, d = cfg.K, cfg.B1, cfg.d
+    A = jnp.concatenate([mask[None, :], Phi], axis=0)          # (B1, Nl) Phi_moe
+
+    # Normal equations, accumulated as B1 skinny GEMMs to avoid a (K,B1,Nl)
+    # intermediate: cov[k,b,c] = sum_n A[b,n] A[c,n] R[k,n].
+    cov_rows = []
+    rhs_rows = []
+    for b in range(B1):
+        Ab = A[b][None, :]                                      # (1, Nl)
+        cov_rows.append((A * Ab) @ R.T)                         # (B1, K)
+        rhs_rows.append((R * Ab) @ Z_orig.T)                    # (K, d)
+    cov = jnp.stack(cov_rows, axis=0)                           # (B1, B1, K)
+    cov = lax.psum(jnp.transpose(cov, (2, 0, 1)), axis_name)    # (K, B1, B1)
+    rhs = lax.psum(jnp.stack(rhs_rows, axis=1), axis_name)      # (K, B1, d)
+
+    # Ridge penalty per cluster (dynamic lambda: reference :541-544, 587-591).
+    if cfg.lambda_estimation:
+        lamb_k = jnp.concatenate(
+            [jnp.zeros((K, 1), jnp.float32), jnp.float32(cfg.alpha) * E], axis=1
+        )                                                       # (K, B1)
+    else:
+        lamb_k = jnp.broadcast_to(params.lamb[None, :], (K, B1))
+    cov = cov + jax.vmap(jnp.diag)(lamb_k)
+
+    # Batched SPD solve (reference uses torch.linalg.inv; Cholesky is the
+    # numerically preferable equivalent for these tiny SPD systems).
+    L = jnp.linalg.cholesky(cov)                                # (K, B1, B1)
+    W = jax.scipy.linalg.cho_solve((L, True), rhs)              # (K, B1, d)
+    W = W.at[:, 0, :].set(0.0)                                  # keep intercept
+
+    # correction[d, n] = sum_k sum_b W[k,b,d] A[b,n] R[k,n], applied as B1
+    # shard-local GEMMs: T_b = R^T @ W[:,b,:]  (Nl, d).
+    corr = jnp.zeros_like(Z_orig)
+    for b in range(B1):
+        Tb = R.T @ W[:, b, :]                                   # (Nl, d)
+        corr = corr + Tb.T * A[b][None, :]
+    return Z_orig - corr

@@ -1,0 +1,57 @@
+"""Test environment: CPU backend with 8 virtual devices, so multi-device
+sharding is exercised without TPU hardware (SURVEY.md §4 test strategy).
+
+Must run before jax is imported anywhere.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+# The container pins JAX_PLATFORMS=axon (TPU) early; override explicitly so
+# the test suite always runs on the virtual 8-device CPU mesh.
+jax.config.update("jax_platforms", "cpu")
+
+# Float64 for the LISI golden test (the reference computes LISI in float64);
+# all harmony-engine code pins float32 explicitly, so this is safe.
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+REF_DATA = os.environ.get("HARMONYPY_REF_DATA", "/root/reference/data")
+
+
+@pytest.fixture(scope="session")
+def ref_data_dir():
+    if not os.path.isdir(REF_DATA):
+        pytest.skip("reference data directory not available")
+    return REF_DATA
+
+
+@pytest.fixture(scope="session")
+def pbmc(ref_data_dir):
+    import pandas as pd
+    meta = pd.read_csv(f"{ref_data_dir}/pbmc_3500_meta.tsv.gz", sep="\t")
+    pcs = pd.read_csv(f"{ref_data_dir}/pbmc_3500_pcs.tsv.gz", sep="\t")
+    harmonized = pd.read_csv(
+        f"{ref_data_dir}/pbmc_3500_pcs_harmonized.tsv.gz", sep="\t")
+    return meta, pcs, harmonized
+
+
+def synthetic_batched(n_cells=600, d=10, n_batches=3, n_groups=5, seed=0,
+                      batch_shift=2.0):
+    """Clustered data with per-batch offsets — a batch effect to remove."""
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(size=(n_groups, d)) * 4.0
+    groups = rng.integers(0, n_groups, size=n_cells)
+    batches = rng.integers(0, n_batches, size=n_cells)
+    shifts = rng.normal(size=(n_batches, d)) * batch_shift
+    X = centers[groups] + shifts[batches] + rng.normal(size=(n_cells, d))
+    return X.astype(np.float32), batches, groups

@@ -1,0 +1,98 @@
+"""Golden-output integration tests against the R implementation's saved
+results (reference test strategy, tests/test_harmony.py:114-131): per-PC
+Pearson r >= 0.9 between our Z_corr and the R package's output."""
+
+import numpy as np
+import pytest
+from scipy.stats import pearsonr
+
+import harmonypy_tpu as hm
+from harmonypy_tpu.parallel.mesh import make_mesh
+
+
+def _correlations(Z_corr, harmonized):
+    harm = harmonized
+    if harm.iloc[:, 0].dtype == "object":
+        harm = harm.iloc[:, 1:]
+    return np.array([
+        pearsonr(Z_corr[:, i], harm.iloc[:, i].values)[0]
+        for i in range(Z_corr.shape[1])
+    ])
+
+
+@pytest.mark.parametrize("n_devices", [1, 8])
+def test_run_harmony_small(pbmc, n_devices):
+    meta, pcs, harmonized = pbmc
+    mesh = make_mesh(n_devices=n_devices)
+    ho = hm.run_harmony(pcs, meta, ["donor"], mesh=mesh, verbose=False)
+    cors = _correlations(ho.Z_corr, harmonized)
+    assert np.all(cors >= 0.9), f"correlations < 0.9: {cors}"
+
+
+def test_objective_decreases(pbmc):
+    meta, pcs, _ = pbmc
+    mesh = make_mesh(n_devices=8)
+    ho = hm.run_harmony(pcs, meta, ["donor"], mesh=mesh, verbose=False)
+    obj = ho.objective_harmony
+    assert len(obj) >= 2
+    assert obj[-1] < obj[0]
+    # histories are consistent lengths (observability contract, SURVEY.md §5)
+    assert len(ho.kmeans_rounds) == len(obj) - 1
+    assert len(ho.objective_kmeans) == 1 + sum(ho.kmeans_rounds)
+    assert len(ho.objective_kmeans_dist) == len(ho.objective_kmeans)
+
+
+def test_result_shapes_and_properties(pbmc):
+    meta, pcs, _ = pbmc
+    mesh = make_mesh(n_devices=8)
+    ho = hm.run_harmony(pcs, meta, ["donor"], mesh=mesh, verbose=False,
+                        max_iter_harmony=1, max_iter_kmeans=2)
+    N, d = pcs.shape
+    B = meta["donor"].nunique()
+    assert ho.Z_corr.shape == (N, d)
+    assert ho.Z_orig.shape == (N, d)
+    assert ho.Z_cos.shape == (N, d)
+    assert ho.R.shape == (N, ho.K)
+    assert ho.Y.shape == (d, ho.K)
+    assert ho.O.shape == (ho.K, B)
+    assert ho.E.shape == (ho.K, B)
+    assert ho.Phi.shape == (N, B)
+    assert ho.Phi_moe.shape == (N, B + 1)
+    assert ho.Pr_b.shape == (B,)
+    np.testing.assert_allclose(ho.Pr_b.sum(), 1.0, rtol=1e-5)
+    np.testing.assert_allclose(ho.result(), ho.Z_corr)
+    # R columns (cells) sum to one
+    np.testing.assert_allclose(ho.R.sum(axis=1), 1.0, rtol=1e-4)
+    # Z_cos is unit-norm per cell
+    np.testing.assert_allclose(
+        np.linalg.norm(ho.Z_cos, axis=1), 1.0, rtol=1e-5)
+
+
+def test_multi_covariate(pbmc):
+    """Phi built from two covariates (reference harmony.py:133 concatenates
+    one-hot blocks; theta/lamb expand per level)."""
+    meta, pcs, harmonized = pbmc
+    rng = np.random.default_rng(0)
+    meta = meta.copy()
+    meta["chemistry"] = rng.choice(["v2", "v3"], size=len(meta))
+    mesh = make_mesh(n_devices=8)
+    ho = hm.run_harmony(pcs, meta, ["donor", "chemistry"], mesh=mesh,
+                        verbose=False, max_iter_harmony=2)
+    B = meta["donor"].nunique() + meta["chemistry"].nunique()
+    assert ho.Phi.shape[1] == B
+    assert ho.theta.shape == (B,)
+    assert ho.O.shape == (ho.K, B)
+    # random chemistry has no real batch effect; donor correction should
+    # still put us in the right neighborhood of the R output
+    cors = _correlations(ho.Z_corr, harmonized)
+    assert np.all(cors >= 0.8), cors
+
+
+def test_lambda_estimation(pbmc):
+    meta, pcs, harmonized = pbmc
+    mesh = make_mesh(n_devices=8)
+    ho = hm.run_harmony(pcs, meta, ["donor"], lamb=-1, mesh=mesh,
+                        verbose=False)
+    assert ho.lambda_estimation
+    cors = _correlations(ho.Z_corr, harmonized)
+    assert np.all(cors >= 0.9), cors

@@ -1,0 +1,200 @@
+"""Per-kernel unit tests against the NumPy oracle (SURVEY.md §4 item 5:
+the reference has no such tests; the TPU build adds them)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from harmonypy_tpu.config import EngineConfig
+from harmonypy_tpu.state import HarmonyParams
+from harmonypy_tpu.parallel.mesh import make_mesh, AXIS
+from harmonypy_tpu.ops.normalize import l2_normalize_cols, safe_entropy
+from harmonypy_tpu.ops.update_r import update_r, compute_scale_dist
+from harmonypy_tpu.ops.ridge import moe_correct_ridge
+from harmonypy_tpu.ops.objective import compute_objective_terms
+from harmonypy_tpu.ops.kmeans import kmeans_init
+
+import oracle
+
+
+def _problem(N=160, d=6, K=7, B=3, seed=1):
+    rng = np.random.default_rng(seed)
+    Z = rng.normal(size=(d, N)).astype(np.float32)
+    batch = rng.integers(0, B, size=N)
+    Phi = (batch[None, :] == np.arange(B)[:, None]).astype(np.float32)
+    Pr_b = Phi.sum(axis=1) / N
+    dist = (2.0 * rng.random(size=(K, N))).astype(np.float32)
+    R = rng.random(size=(K, N)).astype(np.float32)
+    R /= R.sum(axis=0, keepdims=True)
+    E = np.outer(R.sum(axis=1), Pr_b).astype(np.float32)
+    O = (R @ Phi.T).astype(np.float32)
+    theta = np.full(B, 2.0, np.float32)
+    sigma = np.full(K, 0.1, np.float32)
+    lamb = np.concatenate([[0.0], np.ones(B)]).astype(np.float32)
+    return dict(Z=Z, Phi=Phi, Pr_b=Pr_b, dist=dist, R=R, E=E, O=O,
+                theta=theta, sigma=sigma, lamb=lamb, N=N, d=d, K=K, B=B)
+
+
+def _cfg(p, n_devices=1, **kw):
+    return EngineConfig(N=p["N"], d=p["d"], K=p["K"], B=p["B"],
+                        n_devices=n_devices, **kw)
+
+
+def _params(p):
+    return HarmonyParams(theta=jnp.asarray(p["theta"]),
+                         sigma=jnp.asarray(p["sigma"]),
+                         lamb=jnp.asarray(p["lamb"]),
+                         Pr_b=jnp.asarray(p["Pr_b"], jnp.float32))
+
+
+def _run_sharded(fn, mesh, in_specs, out_specs, *args):
+    return jax.jit(jax.shard_map(
+        fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs))(*args)
+
+
+def test_l2_normalize_cols_matches_numpy_and_handles_zero():
+    X = np.random.default_rng(0).normal(size=(5, 9)).astype(np.float32)
+    X[:, 3] = 0.0
+    out = np.asarray(l2_normalize_cols(jnp.asarray(X)))
+    ref = X / np.where(np.linalg.norm(X, axis=0) > 0,
+                       np.linalg.norm(X, axis=0), 1.0)
+    np.testing.assert_allclose(out, ref, rtol=1e-6)
+    assert np.all(out[:, 3] == 0.0)
+
+
+def test_safe_entropy():
+    x = jnp.asarray([0.0, 0.5, 1.0, 2.0], jnp.float32)
+    out = np.asarray(safe_entropy(x))
+    np.testing.assert_allclose(out, [0.0, 0.5 * np.log(0.5), 0.0,
+                                     2.0 * np.log(2.0)], rtol=1e-6)
+
+
+def test_objective_matches_oracle():
+    p = _problem()
+    mesh = make_mesh(n_devices=1)
+    cfg = _cfg(p)
+    params = _params(p)
+
+    def f(R, dist, O, E, Phi, params):
+        return compute_objective_terms(R, dist, O, E, Phi, params, cfg, AXIS)
+
+    s2 = P(None, AXIS)
+    ke, ent, cross = _run_sharded(
+        f, mesh, (s2, s2, P(), P(), s2, P()), (P(), P(), P()),
+        jnp.asarray(p["R"]), jnp.asarray(p["dist"]), jnp.asarray(p["O"]),
+        jnp.asarray(p["E"]), jnp.asarray(p["Phi"]), params)
+    ref = oracle.objective_terms(p["R"], p["dist"], p["O"], p["E"], p["Phi"],
+                                 p["theta"], p["sigma"], p["N"])
+    np.testing.assert_allclose([float(ke), float(ent), float(cross)], ref,
+                               rtol=2e-5)
+
+
+@pytest.mark.parametrize("block_size", [0.05, 0.3, 0.45])
+def test_update_r_matches_oracle_single_device(block_size):
+    p = _problem(N=173)  # deliberately not divisible by blocks
+    mesh = make_mesh(n_devices=1)
+    cfg = _cfg(p, block_size=block_size)
+    params = _params(p)
+    key = jax.random.PRNGKey(7)
+    mask = jnp.ones((p["N"],), jnp.float32)
+
+    def f(key, R, dist, Phi, E, O, params, mask):
+        return update_r(key, R, dist, Phi, E, O, params, cfg, mask, AXIS)
+
+    s2 = P(None, AXIS)
+    R2, E2, O2 = _run_sharded(
+        f, mesh,
+        (P(), s2, s2, s2, P(), P(), P(), P(AXIS)), (s2, P(), P()),
+        key, jnp.asarray(p["R"]), jnp.asarray(p["dist"]),
+        jnp.asarray(p["Phi"]), jnp.asarray(p["E"]), jnp.asarray(p["O"]),
+        params, mask)
+
+    # Same permutation the kernel derives internally (shard 0 of 1).
+    perm = np.asarray(jax.random.permutation(
+        jax.random.fold_in(key, 0), p["N"]))
+    R_ref, E_ref, O_ref = oracle.update_r_blocks(
+        p["R"], p["dist"], p["Phi"], p["E"], p["O"],
+        p["theta"], p["sigma"], p["Pr_b"], perm, block_size)
+
+    np.testing.assert_allclose(np.asarray(R2), R_ref, rtol=5e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(E2), E_ref, rtol=5e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(O2), O_ref, rtol=5e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("lambda_estimation", [False, True])
+def test_ridge_matches_oracle(lambda_estimation):
+    p = _problem()
+    mesh = make_mesh(n_devices=1)
+    cfg = _cfg(p, lambda_estimation=lambda_estimation)
+    params = _params(p)
+    mask = jnp.ones((p["N"],), jnp.float32)
+
+    def f(Z, Phi, R, E, params, mask):
+        return moe_correct_ridge(Z, Phi, R, E, params, cfg, mask, AXIS)
+
+    s2 = P(None, AXIS)
+    Z2 = _run_sharded(
+        f, mesh, (s2, s2, s2, P(), P(), P(AXIS)), s2,
+        jnp.asarray(p["Z"]), jnp.asarray(p["Phi"]), jnp.asarray(p["R"]),
+        jnp.asarray(p["E"]), params, mask)
+    ref = oracle.ridge_correct(p["Z"], p["Phi"], p["R"], p["E"],
+                               p["lamb"], 0.2, lambda_estimation)
+    np.testing.assert_allclose(np.asarray(Z2), ref, rtol=2e-4, atol=2e-4)
+
+
+def test_update_r_multidevice_consistent_stats():
+    """On 8 devices: O/E stay consistent with R and Phi after the update."""
+    p = _problem(N=320)
+    mesh = make_mesh(n_devices=8)
+    cfg = _cfg(p, n_devices=8)
+    params = _params(p)
+    key = jax.random.PRNGKey(3)
+    mask = jnp.ones((p["N"],), jnp.float32)
+
+    def f(key, R, dist, Phi, E, O, params, mask):
+        return update_r(key, R, dist, Phi, E, O, params, cfg, mask, AXIS)
+
+    s2 = P(None, AXIS)
+    R2, E2, O2 = _run_sharded(
+        f, mesh, (P(), s2, s2, s2, P(), P(), P(), P(AXIS)), (s2, P(), P()),
+        key, jnp.asarray(p["R"]), jnp.asarray(p["dist"]),
+        jnp.asarray(p["Phi"]), jnp.asarray(p["E"]), jnp.asarray(p["O"]),
+        params, mask)
+    R2, E2, O2 = map(np.asarray, (R2, E2, O2))
+    # Invariants: columns sum to 1; O == R Phi^T; E == outer(R1, Pr_b).
+    np.testing.assert_allclose(R2.sum(axis=0), 1.0, rtol=1e-4)
+    np.testing.assert_allclose(O2, R2 @ p["Phi"].T, rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(E2, np.outer(R2.sum(axis=1), p["Pr_b"]),
+                               rtol=1e-3, atol=1e-3)
+
+
+def test_kmeans_init_quality():
+    """k-means++ + Lloyd should achieve inertia comparable to sklearn."""
+    from sklearn.cluster import KMeans
+    rng = np.random.default_rng(0)
+    X = rng.normal(size=(400, 5)).astype(np.float32)
+    X[:100] += 4.0
+    X[100:200] -= 4.0
+    Xn = (X / np.linalg.norm(X, axis=1, keepdims=True)).astype(np.float32)
+    K = 8
+    mesh = make_mesh(n_devices=8)
+    cfg = EngineConfig(N=400, d=5, K=K, B=2, n_devices=8)
+
+    def f(key, Z, mask):
+        return kmeans_init(key, Z, mask, cfg, AXIS)
+
+    C = _run_sharded(
+        f, mesh, (P(), P(None, AXIS), P(AXIS)), P(),
+        jax.random.PRNGKey(0), jnp.asarray(Xn.T),
+        jnp.ones((400,), jnp.float32))
+    C = np.asarray(C)
+    d2 = ((Xn[:, None, :] - C.T[None, :, :]) ** 2).sum(-1)
+    ours = d2.min(axis=1).sum()
+
+    sk = KMeans(n_clusters=K, init="k-means++", n_init=1, max_iter=25,
+                random_state=0).fit(Xn)
+    theirs = sk.inertia_
+    assert ours <= theirs * 1.15, (ours, theirs)

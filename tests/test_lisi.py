@@ -1,0 +1,44 @@
+"""LISI golden test (reference tests/test_lisi.py:5-17): exact match against
+the R LISI package's output on the bundled 400-cell fixture."""
+
+import numpy as np
+import pandas as pd
+
+import harmonypy_tpu as hm
+
+
+def test_lisi_golden(ref_data_dir):
+    X = pd.read_csv(f"{ref_data_dir}/lisi_x.tsv.gz", sep="\t")
+    metadata = pd.read_csv(f"{ref_data_dir}/lisi_metadata.tsv.gz", sep="\t")
+    lisi = hm.compute_lisi(X, metadata, metadata.columns, 30)
+
+    lisi_ref = pd.read_csv(f"{ref_data_dir}/lisi_lisi.tsv.gz", sep="\t")
+    lisi_ref = lisi_ref.iloc[:, -2:].to_numpy()
+    assert np.allclose(lisi, lisi_ref), (
+        np.abs(lisi - lisi_ref).max())
+
+
+def test_lisi_bounds():
+    """LISI is within [1, n_categories] for well-defined inputs."""
+    rng = np.random.default_rng(0)
+    X = rng.normal(size=(300, 4))
+    meta = pd.DataFrame({"b": rng.choice(["x", "y", "z"], size=300)})
+    lisi = hm.compute_lisi(X, meta, ["b"], perplexity=20)
+    assert lisi.shape == (300, 1)
+    assert np.all(lisi >= 1.0 - 1e-6)
+    assert np.all(lisi <= 3.0 + 1e-6)
+
+
+def test_lisi_separated_batches():
+    """Perfectly separated batches -> LISI ~= 1; mixed -> ~= 2."""
+    rng = np.random.default_rng(1)
+    n = 200
+    X_sep = np.concatenate([rng.normal(size=(n, 2)),
+                            rng.normal(size=(n, 2)) + 100.0])
+    X_mix = rng.normal(size=(2 * n, 2))
+    meta = pd.DataFrame({"b": ["a"] * n + ["b"] * n})
+    lisi_sep = hm.compute_lisi(X_sep, meta, ["b"])
+    assert np.all(lisi_sep < 1.1)
+    rng.shuffle(X_mix)
+    lisi_mix = hm.compute_lisi(X_mix, meta, ["b"])
+    assert lisi_mix.mean() > 1.8
