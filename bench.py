@@ -46,9 +46,14 @@ def main():
     from harmonypy_tpu.parallel.mesh import make_mesh, AXIS
     from jax.sharding import NamedSharding, PartitionSpec as P
 
+    from harmonypy_tpu.config import pallas_supported
+
     mesh = make_mesh()
     n_dev = int(mesh.devices.size)
-    cfg = EngineConfig(N=N_CELLS, d=N_PCS, K=K, B=N_BATCHES, n_devices=n_dev)
+    use_pallas = (mesh.devices.flat[0].platform == "tpu"
+                  and pallas_supported(N_CELLS, n_dev))
+    cfg = EngineConfig(N=N_CELLS, d=N_PCS, K=K, B=N_BATCHES, n_devices=n_dev,
+                       use_pallas=use_pallas)
     engine = get_engine(cfg, mesh)
 
     # Synthetic clustered embedding with additive batch offsets, generated

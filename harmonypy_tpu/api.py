@@ -14,7 +14,7 @@ import pandas as pd
 
 import jax
 
-from .config import EngineConfig
+from .config import EngineConfig, pallas_supported
 from .engine import get_engine
 from .state import HarmonyParams, HarmonyState
 from .parallel.mesh import default_mesh, make_mesh
@@ -43,6 +43,8 @@ def run_harmony(
     device=None,
     mesh=None,
     checkpoint_dir=None,
+    use_pallas=None,
+    chunk_size=2048,
 ):
     """Run Harmony batch-effect correction on TPU (or any JAX backend).
 
@@ -150,6 +152,7 @@ def run_harmony(
         max_iter_harmony, max_iter_kmeans,
         epsilon_cluster, epsilon_harmony, nclust, block_size, verbose,
         random_state, device, mesh=mesh, checkpoint_dir=checkpoint_dir,
+        use_pallas=use_pallas, chunk_size=chunk_size,
     )
 
 
@@ -161,7 +164,8 @@ class Harmony:
     def __init__(self, Z, Phi, Pr_b, sigma, theta, lamb, alpha,
                  lambda_estimation, max_iter_harmony, max_iter_kmeans,
                  epsilon_kmeans, epsilon_harmony, K, block_size, verbose,
-                 random_state, device=None, *, mesh=None, checkpoint_dir=None):
+                 random_state, device=None, *, mesh=None, checkpoint_dir=None,
+                 use_pallas=None, chunk_size=2048):
         Z = np.asarray(Z, dtype=np.float32)
         Phi = np.asarray(Phi, dtype=np.float32)
         if mesh is None:
@@ -182,9 +186,17 @@ class Harmony:
         self.max_iter_kmeans = max_iter_kmeans
         self.verbose = verbose
 
+        n_devices = int(mesh.devices.size)
+        if use_pallas is None:
+            # Fused Pallas E-step: on by default on a single real TPU chip
+            # whenever the chunk geometry fits (config.pallas_supported).
+            use_pallas = (mesh.devices.flat[0].platform == "tpu"
+                          and pallas_supported(self.N, n_devices,
+                                               float(block_size), chunk_size))
         cfg = EngineConfig(
             N=self.N, d=self.d, K=K, B=self.B,
-            n_devices=int(mesh.devices.size),
+            n_devices=n_devices,
+            use_pallas=bool(use_pallas), chunk_size=int(chunk_size),
             max_iter_harmony=max_iter_harmony,
             max_iter_kmeans=max_iter_kmeans,
             epsilon_kmeans=float(epsilon_kmeans),

@@ -60,10 +60,21 @@ class EngineConfig:
     # Matmul precision for jnp.dot/einsum ("float32" = full fp32 on MXU).
     matmul_precision: str = "float32"
 
+    # Fused Pallas E-step (ops/pallas/update_r_fused.py). When on, cells are
+    # block-shuffled at CHUNK granularity and N is padded to a chunk multiple
+    # plus one trailing all-zero dummy chunk.
+    use_pallas: bool = False
+    chunk_size: int = 2048
+
     # ---- derived geometry ------------------------------------------------
     @property
     def N_pad(self) -> int:
-        """Cells padded up so every device holds the same count."""
+        """Cells padded so every device holds the same count; the Pallas path
+        additionally pads each shard to a chunk multiple + 1 dummy chunk."""
+        if self.use_pallas:
+            per_dev = round_up(cdiv(self.N, self.n_devices),
+                               self.chunk_size) + self.chunk_size
+            return per_dev * self.n_devices
         return round_up(self.N, self.n_devices)
 
     @property
@@ -116,3 +127,18 @@ class EngineConfig:
         assert 0.0 < self.block_size <= 1.0
         # Last block must be non-negative; guaranteed by n_blocks = ceil(1/bs).
         assert self.last_block >= 0, (self.N_local, self.n_blocks, self.cells_per_block)
+        if self.use_pallas:
+            assert pallas_supported(self.N, self.n_devices, self.block_size,
+                                    self.chunk_size), self
+
+
+def pallas_supported(N: int, n_devices: int, block_size: float = 0.05,
+                     chunk_size: int = 2048) -> bool:
+    """Whether the fused Pallas E-step's chunk geometry works for a problem:
+    single device (for now) and at least one chunk per update block."""
+    if n_devices != 1:
+        return False
+    per_dev = round_up(cdiv(N, n_devices), chunk_size) + chunk_size
+    n_chunks = per_dev // chunk_size - 1
+    n_blocks = int(math.ceil(1.0 / block_size))
+    return int(n_chunks * block_size) >= 1 and n_chunks >= n_blocks

@@ -34,7 +34,8 @@ from .ops.normalize import l2_normalize_cols
 from .ops.kmeans import kmeans_init
 from .ops.update_r import compute_scale_dist, update_r
 from .ops.ridge import moe_correct_ridge
-from .ops.objective import compute_objective_terms
+from .ops.objective import compute_objective_terms, cross_entropy_from_stats
+from .ops.pallas.update_r_fused import build_slots, fused_update_r, pallas_geometry
 
 AXIS = "cells"
 
@@ -85,6 +86,8 @@ class HarmonyEngine:
         assert mesh.devices.size == cfg.n_devices, (mesh, cfg.n_devices)
         self.cfg = cfg
         self.mesh = mesh
+        # Pallas kernels run compiled on TPU, interpreted elsewhere (tests).
+        self._pallas_interpret = mesh.devices.flat[0].platform != "tpu"
 
         s2 = P(None, AXIS)   # (x, N) sharded on cells
         s1 = P(AXIS)         # (N,) sharded
@@ -100,15 +103,19 @@ class HarmonyEngine:
             kmeans_rounds=rep, n_rounds=rep, converged=rep,
         )
 
+        # check_vma (replication typing) trips on pallas_call index_map
+        # internals; the pallas path is single-device and every psum here is a
+        # partial-sum reduction, so disabling the checker is semantics-free.
+        check_vma = not cfg.use_pallas
         init = jax.shard_map(
             self._init_impl, mesh=mesh,
             in_specs=(self.data_specs, self.params_specs, rep),
-            out_specs=self.state_specs,
+            out_specs=self.state_specs, check_vma=check_vma,
         )
         step = jax.shard_map(
             self._iter_impl, mesh=mesh,
             in_specs=(self.state_specs, self.data_specs, self.params_specs),
-            out_specs=self.state_specs,
+            out_specs=self.state_specs, check_vma=check_vma,
         )
         self.init_fn = jax.jit(init)
         self.iter_fn = jax.jit(step, donate_argnums=0)
@@ -121,11 +128,11 @@ class HarmonyEngine:
         )
 
     # ---- implementations (run under shard_map) --------------------------
-    def _objective_append(self, hist, R, dist_mat, O, E, Phi, params):
-        """hist = (obj_kmeans, obj_dist, obj_entropy, obj_cross, n)."""
+    def _objective_append(self, hist, terms):
+        """hist = (obj_kmeans, obj_dist, obj_entropy, obj_cross, n);
+        terms = (kmeans_error, entropy, cross), already 2000/N-normalized."""
         obj_kmeans, obj_dist, obj_entropy, obj_cross, n = hist
-        ke, ent, cross = compute_objective_terms(
-            R, dist_mat, O, E, Phi, params, self.cfg, AXIS)
+        ke, ent, cross = terms
         obj_kmeans, _ = append(obj_kmeans, n, ke + ent + cross)
         obj_dist, _ = append(obj_dist, n, ke)
         obj_entropy, _ = append(obj_entropy, n, ent)
@@ -155,7 +162,8 @@ class HarmonyEngine:
             kh = self._objective_append(
                 (hist["obj_kmeans"], hist["obj_dist"], hist["obj_entropy"],
                  hist["obj_cross"], hist["n_kmeans"]),
-                R, dist_mat, O, E, Phi, params)
+                compute_objective_terms(R, dist_mat, O, E, Phi, params, cfg,
+                                        AXIS))
             obj_kmeans, obj_dist, obj_entropy, obj_cross, n_kmeans = kh
             # harmony.py:392 — first harmony objective = first kmeans objective
             obj_harmony, n_harmony = append(
@@ -182,14 +190,31 @@ class HarmonyEngine:
             def body(c: _KmeansCarry) -> _KmeansCarry:
                 Y = l2_normalize_cols(
                     lax.psum(state.Z_cos @ c.R.T, AXIS))     # harmony.py:443-444
-                dist_mat = 2.0 * (1.0 - Y.T @ state.Z_cos)   # harmony.py:447
                 key, k_r = jax.random.split(c.key)
-                R, E, O = update_r(k_r, c.R, dist_mat, Phi, c.E, c.O,
-                                   params, cfg, mask, AXIS)  # harmony.py:450
+                if cfg.use_pallas:
+                    # Fused E-step: dist/softmax/reweight/objective in one
+                    # kernel; kmeans-error + entropy come back as scalars and
+                    # the cross term derives from O (see objective.py).
+                    slots = build_slots(k_r, pallas_geometry(cfg))
+                    R, O, E, kerr, ent = fused_update_r(
+                        slots, c.R, state.Z_cos, Phi, Y, params.sigma,
+                        params.theta, params.Pr_b, c.O, c.E, cfg,
+                        interpret=self._pallas_interpret)
+                    O = lax.psum(O, AXIS)  # identity at 1 device; fixes vma
+                    E = lax.psum(E, AXIS)
+                    nc = jnp.float32(2000.0 / cfg.N)
+                    terms = (lax.psum(kerr, AXIS) * nc,
+                             lax.psum(ent, AXIS) * nc,
+                             cross_entropy_from_stats(O, E, params, cfg))
+                else:
+                    dist_mat = 2.0 * (1.0 - Y.T @ state.Z_cos)  # harmony.py:447
+                    R, E, O = update_r(k_r, c.R, dist_mat, Phi, c.E, c.O,
+                                       params, cfg, mask, AXIS)  # harmony.py:450
+                    terms = compute_objective_terms(
+                        R, dist_mat, O, E, Phi, params, cfg, AXIS)
                 hist = self._objective_append(
                     (c.obj_kmeans, c.obj_dist, c.obj_entropy, c.obj_cross,
-                     c.n_kmeans),
-                    R, dist_mat, O, E, Phi, params)          # harmony.py:453
+                     c.n_kmeans), terms)                     # harmony.py:453
                 obj_kmeans, obj_dist, obj_entropy, obj_cross, n_kmeans = hist
                 conv = jnp.logical_and(
                     c.i > cfg.window_size,

@@ -24,6 +24,19 @@ from .normalize import safe_entropy
 CLAMP = 1e-8
 
 
+def cross_entropy_from_stats(O, E, params: HarmonyParams, cfg: EngineConfig):
+    """Diversity cross term computed from O/E alone, no cell pass:
+
+      sum(R_sigma * (theta_log @ Phi)) == sum_kb sigma_k * theta_log[k,b] * O[k,b]
+
+    because O = R Phi^T by definition (reference harmony.py:389). Used by the
+    fused Pallas E-step, which returns the other two terms directly."""
+    norm_const = jnp.float32(2000.0 / cfg.N)
+    ratio = (jnp.maximum(O, CLAMP) + jnp.maximum(E, CLAMP)) / jnp.maximum(E, CLAMP)
+    theta_log = params.theta[None, :] * jnp.log(ratio)          # (K, B)
+    return jnp.sum(params.sigma[:, None] * theta_log * O) * norm_const
+
+
 def compute_objective_terms(R, dist_mat, O, E, Phi, params: HarmonyParams,
                             cfg: EngineConfig, axis_name):
     """Returns (kmeans_error, entropy, cross_entropy), each * 2000/N."""
