@@ -86,14 +86,11 @@ def main():
     )
 
     def run():
-        state = engine.init_fn(data, params, jax.random.PRNGKey(0))
-        iters = 0
-        for _ in range(cfg.max_iter_harmony):
-            state = engine.iter_fn(state, data, params)
-            iters += 1
-            if bool(state.converged):
-                break
-        return jax.block_until_ready(state), iters
+        # Whole pipeline (k-means++ init + all harmony iterations) is ONE
+        # compiled program; reading a scalar back forces a real device sync.
+        state = engine.fit_fn(data, params, jax.random.PRNGKey(0))
+        iters = int(state.n_rounds)
+        return state, iters
 
     t0 = time.time()
     state, iters = run()  # warm-up: compile + execute

@@ -222,22 +222,25 @@ class Harmony:
         self._lamb_raw = np.asarray(lamb, dtype=np.float32)
 
         key = jax.random.PRNGKey(random_state)
-        state = engine.init_fn(self._data, params, key)
-
-        for i in range(1, max_iter_harmony + 1):
-            if verbose:
-                logger.info(f"Iteration {i} of {max_iter_harmony}")
-            state = engine.iter_fn(state, self._data, params)
-            if checkpoint_dir is not None:
-                save_state(f"{checkpoint_dir}/harmony_iter_{i}.npz", state)
-            if bool(state.converged):
-                if verbose:
-                    logger.info(
-                        f"Converged after {i} iteration{'s' if i > 1 else ''}")
-                break
+        if not verbose and checkpoint_dir is None:
+            # Single compiled program: init + all harmony iterations in-graph.
+            state = engine.fit_fn(self._data, params, key)
         else:
-            if verbose:
-                logger.info("Stopped before convergence")
+            state = engine.init_fn(self._data, params, key)
+            for i in range(1, max_iter_harmony + 1):
+                if verbose:
+                    logger.info(f"Iteration {i} of {max_iter_harmony}")
+                state = engine.iter_fn(state, self._data, params)
+                if checkpoint_dir is not None:
+                    save_state(f"{checkpoint_dir}/harmony_iter_{i}.npz", state)
+                if bool(state.converged):
+                    if verbose:
+                        logger.info(f"Converged after {i} iteration"
+                                    f"{'s' if i > 1 else ''}")
+                    break
+            else:
+                if verbose:
+                    logger.info("Stopped before convergence")
 
         self.state: HarmonyState = jax.block_until_ready(state)
 

@@ -35,7 +35,8 @@ from .ops.kmeans import kmeans_init
 from .ops.update_r import compute_scale_dist, update_r
 from .ops.ridge import moe_correct_ridge
 from .ops.objective import compute_objective_terms, cross_entropy_from_stats
-from .ops.pallas.update_r_fused import build_slots, fused_update_r, pallas_geometry
+from .ops.pallas.update_r_fused import (
+    block_removal, build_slots, chunk_stats, fused_update_r, pallas_geometry)
 
 AXIS = "cells"
 
@@ -117,8 +118,17 @@ class HarmonyEngine:
             in_specs=(self.state_specs, self.data_specs, self.params_specs),
             out_specs=self.state_specs, check_vma=check_vma,
         )
+        fit = jax.shard_map(
+            self._fit_impl, mesh=mesh,
+            in_specs=(self.data_specs, self.params_specs, rep),
+            out_specs=self.state_specs, check_vma=check_vma,
+        )
         self.init_fn = jax.jit(init)
         self.iter_fn = jax.jit(step, donate_argnums=0)
+        # Whole fit in one compiled program (init + all harmony iterations):
+        # a single dispatch and a single host sync — the fastest path when
+        # per-iteration logging/checkpointing isn't needed.
+        self.fit_fn = jax.jit(fit)
 
     # ---- sharding helpers (host side) -----------------------------------
     def data_shardings(self) -> HarmonyData:
@@ -178,6 +188,129 @@ class HarmonyEngine:
                 converged=hist["converged"],
             )
 
+    def _cluster_xla(self, state: HarmonyState, Phi, mask,
+                     params: HarmonyParams) -> _KmeansCarry:
+        """Reference-shaped k-means loop: per-cell block shuffling via the
+        shard_map XLA E-step (ops/update_r.py). Used on multi-device meshes
+        and small problems."""
+        cfg = self.cfg
+
+        def body(c: _KmeansCarry) -> _KmeansCarry:
+            Y = l2_normalize_cols(
+                lax.psum(state.Z_cos @ c.R.T, AXIS))     # harmony.py:443-444
+            key, k_r = jax.random.split(c.key)
+            dist_mat = 2.0 * (1.0 - Y.T @ state.Z_cos)   # harmony.py:447
+            R, E, O = update_r(k_r, c.R, dist_mat, Phi, c.E, c.O,
+                               params, cfg, mask, AXIS)  # harmony.py:450
+            terms = compute_objective_terms(
+                R, dist_mat, O, E, Phi, params, cfg, AXIS)
+            hist = self._objective_append(
+                (c.obj_kmeans, c.obj_dist, c.obj_entropy, c.obj_cross,
+                 c.n_kmeans), terms)                     # harmony.py:453
+            obj_kmeans, obj_dist, obj_entropy, obj_cross, n_kmeans = hist
+            conv = jnp.logical_and(
+                c.i > cfg.window_size,
+                _check_conv_kmeans(obj_kmeans, n_kmeans, cfg))
+            return _KmeansCarry(R, Y, O, E, key, obj_kmeans, obj_dist,
+                                obj_entropy, obj_cross, n_kmeans,
+                                c.i + 1, conv)
+
+        def cond(c: _KmeansCarry):
+            return jnp.logical_and(c.i < cfg.max_iter_kmeans,
+                                   jnp.logical_not(c.converged))
+
+        carry = _KmeansCarry(
+            R=state.R, Y=state.Y, O=state.O, E=state.E, key=state.key,
+            obj_kmeans=state.obj_kmeans, obj_dist=state.obj_dist,
+            obj_entropy=state.obj_entropy, obj_cross=state.obj_cross,
+            n_kmeans=state.n_kmeans, i=jnp.int32(0),
+            converged=jnp.zeros((), jnp.bool_))
+        return lax.while_loop(cond, body, carry)
+
+    def _cluster_pallas(self, state: HarmonyState, Phi,
+                        params: HarmonyParams) -> _KmeansCarry:
+        """Fused-kernel k-means loop. The kernel returns, besides the new
+        R/O/E, the NEXT round's centroid numerator (Z_cos R^T) and the
+        per-chunk stats cache that replaces the removal pass, so each round
+        reads Z_cos once and writes R once — nothing else at K x N scale."""
+        cfg = self.cfg
+        geom = pallas_geometry(cfg)
+
+        class C(NamedTuple):
+            R: jax.Array
+            Ysum: jax.Array      # (d, K) un-normalized centroid numerator
+            Y: jax.Array         # (d, K) last round's normalized centroids
+            cache: jax.Array     # (n_chunks+1, K, B+1) per-chunk stats
+            O: jax.Array
+            E: jax.Array
+            key: jax.Array
+            obj_kmeans: jax.Array
+            obj_dist: jax.Array
+            obj_entropy: jax.Array
+            obj_cross: jax.Array
+            n_kmeans: jax.Array
+            i: jax.Array
+            converged: jax.Array
+
+        def body(c: C) -> C:
+            Y = l2_normalize_cols(lax.psum(c.Ysum, AXIS))  # harmony.py:443-444
+            key, k_r = jax.random.split(c.key)
+            slots = build_slots(k_r, geom)
+            removal = block_removal(c.cache, slots, geom)
+            R, O, E, Ysum, cache, kerr, ent = fused_update_r(
+                slots, removal, state.Z_cos, Phi, Y, params.sigma,
+                params.theta, params.Pr_b, c.O, c.E, cfg,
+                interpret=self._pallas_interpret)
+            O = lax.psum(O, AXIS)  # identity at 1 device
+            E = lax.psum(E, AXIS)
+            nc = jnp.float32(2000.0 / cfg.N)
+            terms = (lax.psum(kerr, AXIS) * nc,
+                     lax.psum(ent, AXIS) * nc,
+                     cross_entropy_from_stats(O, E, params, cfg))
+            hist = self._objective_append(
+                (c.obj_kmeans, c.obj_dist, c.obj_entropy, c.obj_cross,
+                 c.n_kmeans), terms)                     # harmony.py:453
+            obj_kmeans, obj_dist, obj_entropy, obj_cross, n_kmeans = hist
+            conv = jnp.logical_and(
+                c.i > cfg.window_size,
+                _check_conv_kmeans(obj_kmeans, n_kmeans, cfg))
+            return C(R, Ysum, Y, cache, O, E, key, obj_kmeans, obj_dist,
+                     obj_entropy, obj_cross, n_kmeans, c.i + 1, conv)
+
+        def cond(c: C):
+            return jnp.logical_and(c.i < cfg.max_iter_kmeans,
+                                   jnp.logical_not(c.converged))
+
+        carry = C(
+            R=state.R,
+            Ysum=lax.psum(state.Z_cos @ state.R.T, AXIS),
+            Y=state.Y,
+            cache=chunk_stats(state.R, Phi, cfg),
+            O=state.O, E=state.E, key=state.key,
+            obj_kmeans=state.obj_kmeans, obj_dist=state.obj_dist,
+            obj_entropy=state.obj_entropy, obj_cross=state.obj_cross,
+            n_kmeans=state.n_kmeans, i=jnp.int32(0),
+            converged=jnp.zeros((), jnp.bool_))
+        out = lax.while_loop(cond, body, carry)
+        return _KmeansCarry(
+            R=out.R, Y=out.Y, O=out.O, E=out.E, key=out.key,
+            obj_kmeans=out.obj_kmeans, obj_dist=out.obj_dist,
+            obj_entropy=out.obj_entropy, obj_cross=out.obj_cross,
+            n_kmeans=out.n_kmeans, i=out.i, converged=out.converged)
+
+    def _fit_impl(self, data: HarmonyData, params: HarmonyParams,
+                  key) -> HarmonyState:
+        """init_cluster + full harmonize loop in-graph (harmony.py:280-282,
+        419-435): convergence-checked lax.while_loop over harmony iterations."""
+        state = self._init_impl(data, params, key)
+
+        def cond(s: HarmonyState):
+            return jnp.logical_and(s.n_rounds < self.cfg.max_iter_harmony,
+                                   jnp.logical_not(s.converged))
+
+        return lax.while_loop(
+            cond, lambda s: self._iter_impl(s, data, params), state)
+
     def _iter_impl(self, state: HarmonyState, data: HarmonyData,
                    params: HarmonyParams) -> HarmonyState:
         """One harmony iteration: cluster() + moe_correct_ridge() + type-1
@@ -187,53 +320,10 @@ class HarmonyEngine:
             Z_orig, Phi, mask = data
 
             # ---- cluster(): fuzzy k-means loop (harmony.py:437-462) -----
-            def body(c: _KmeansCarry) -> _KmeansCarry:
-                Y = l2_normalize_cols(
-                    lax.psum(state.Z_cos @ c.R.T, AXIS))     # harmony.py:443-444
-                key, k_r = jax.random.split(c.key)
-                if cfg.use_pallas:
-                    # Fused E-step: dist/softmax/reweight/objective in one
-                    # kernel; kmeans-error + entropy come back as scalars and
-                    # the cross term derives from O (see objective.py).
-                    slots = build_slots(k_r, pallas_geometry(cfg))
-                    R, O, E, kerr, ent = fused_update_r(
-                        slots, c.R, state.Z_cos, Phi, Y, params.sigma,
-                        params.theta, params.Pr_b, c.O, c.E, cfg,
-                        interpret=self._pallas_interpret)
-                    O = lax.psum(O, AXIS)  # identity at 1 device; fixes vma
-                    E = lax.psum(E, AXIS)
-                    nc = jnp.float32(2000.0 / cfg.N)
-                    terms = (lax.psum(kerr, AXIS) * nc,
-                             lax.psum(ent, AXIS) * nc,
-                             cross_entropy_from_stats(O, E, params, cfg))
-                else:
-                    dist_mat = 2.0 * (1.0 - Y.T @ state.Z_cos)  # harmony.py:447
-                    R, E, O = update_r(k_r, c.R, dist_mat, Phi, c.E, c.O,
-                                       params, cfg, mask, AXIS)  # harmony.py:450
-                    terms = compute_objective_terms(
-                        R, dist_mat, O, E, Phi, params, cfg, AXIS)
-                hist = self._objective_append(
-                    (c.obj_kmeans, c.obj_dist, c.obj_entropy, c.obj_cross,
-                     c.n_kmeans), terms)                     # harmony.py:453
-                obj_kmeans, obj_dist, obj_entropy, obj_cross, n_kmeans = hist
-                conv = jnp.logical_and(
-                    c.i > cfg.window_size,
-                    _check_conv_kmeans(obj_kmeans, n_kmeans, cfg))
-                return _KmeansCarry(R, Y, O, E, key, obj_kmeans, obj_dist,
-                                    obj_entropy, obj_cross, n_kmeans,
-                                    c.i + 1, conv)
-
-            def cond(c: _KmeansCarry):
-                return jnp.logical_and(c.i < cfg.max_iter_kmeans,
-                                       jnp.logical_not(c.converged))
-
-            carry = _KmeansCarry(
-                R=state.R, Y=state.Y, O=state.O, E=state.E, key=state.key,
-                obj_kmeans=state.obj_kmeans, obj_dist=state.obj_dist,
-                obj_entropy=state.obj_entropy, obj_cross=state.obj_cross,
-                n_kmeans=state.n_kmeans, i=jnp.int32(0),
-                converged=jnp.zeros((), jnp.bool_))
-            carry = lax.while_loop(cond, body, carry)
+            if cfg.use_pallas:
+                carry = self._cluster_pallas(state, Phi, params)
+            else:
+                carry = self._cluster_xla(state, Phi, mask, params)
 
             kmeans_rounds, n_rounds = append(
                 state.kmeans_rounds, state.n_rounds, carry.i)  # harmony.py:461

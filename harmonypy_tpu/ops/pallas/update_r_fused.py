@@ -1,40 +1,45 @@
-"""Fused Pallas TPU kernel for the block-wise E-step (+ objective).
+"""Fused Pallas TPU kernel for the block-wise E-step (+ objective + Y-update).
 
 Motivation (measured on TPU v5e, 858k cells x K=100): the XLA lowering of the
 reference-shaped update (gather block columns -> update -> scatter back,
 ops/update_r.py) pays a full 343 MB copy of R on EVERY block scatter plus
-lane-wise gathers at ~1/8 peak bandwidth — ~60 ms per k-means round for a
-computation whose irreducible HBM traffic is ~1 GB (~1.5 ms).
-
-This kernel restructures the E-step TPU-first:
+lane-wise gathers at ~1/8 peak bandwidth — ~60 ms per k-means round. This
+kernel gets the same round to ~1 ms by restructuring TPU-first:
 
   - Cells are grouped into contiguous CHUNKS of `chunk_size` columns; the
     random update order shuffles chunks instead of individual cells (the
     reference's random cell partition at harmony.py:471-484 becomes a random
-    chunk partition — same expectation, slightly coarser randomization, and
-    every memory access becomes a large contiguous DMA).
-  - One pallas_call per E-step. Grid = (n_blocks, 2 phases, J chunks/block),
-    sequential on the core. Scalar-prefetched `slots` (the shuffled chunk ids)
-    drive the BlockSpec index_maps, so the automatic pipeline DMAs exactly the
-    right chunk each step — no materialized permutation, no scatter.
-  - R is updated IN PLACE via input_output_aliases (phase 0 writes each chunk
-    back unchanged; phase 1 writes the new values).
+    chunk partition — same expectation, coarser granularity, and every memory
+    access becomes a large contiguous DMA).
+  - The new soft assignments do not depend on the old R values at all — only
+    the block's O/E contributions do (harmony.py:491-507). The kernel
+    maintains a per-chunk statistics CACHE (sum_k R[k,n] over the chunk and
+    the chunk's R Phi^T), so the "remove block from stats" pass never touches
+    R: the engine turns the cache into per-block removal tensors with a tiny
+    gather. R becomes WRITE-ONLY — 2 of the 3 full K x N passes disappear.
+  - One pallas_call per E-step. Grid = (n_blocks, J chunks/block), sequential
+    on the core. Scalar-prefetched `slots` (the shuffled chunk ids) drive the
+    BlockSpec index_maps, so the automatic pipeline DMAs exactly the right
+    chunk each step — no materialized permutation, no scatter.
   - dist = 2(1 - Y^T Z_cos) is computed on the MXU inside the kernel from the
-    chunk of Z_cos — the K x N distance matrix is never materialized in HBM.
-  - The O/E batch-composition statistics live in the (VMEM-resident) output
-    refs across all grid steps; removal/re-add happen at phase boundaries
-    exactly as in the reference (harmony.py:491-507), clamp chain included.
-  - The k-means-error and entropy objective terms (reference
-    harmony.py:399-402) are accumulated on the fly from the freshly updated
-    chunks; the cross term needs no cell pass at all because
+    chunk of Z_cos — the K x N distance matrix never exists in HBM — then
+    softmax, diversity reweighting and clamps all happen in VMEM
+    (harmony.py:447, 466-503).
+  - The NEXT round's centroid numerator sum_n Z_cos R_new^T (harmony.py:443)
+    is accumulated on the fly, so the engine's per-round Y-update GEMM (a
+    456 MB read) disappears too.
+  - The k-means-error and entropy objective terms (harmony.py:399-402) are
+    accumulated per chunk; the cross term needs no cell pass because
     sum(R_sigma * (theta_log @ Phi)) == sum_kb sigma_k theta_log[k,b] O[k,b]
-    (O = R Phi^T by definition), so the engine computes it from O directly.
+    (O = R Phi^T by definition), computed by the engine from O directly.
+
+Net per-round HBM traffic: read Z_cos (d x N) + write R (K x N) + small.
 
 Padding contract: the caller allocates arrays with one extra all-zero DUMMY
 chunk at the end (chunk id == n_chunks). `slots` entries equal to n_chunks
-point at it; its Phi columns are zero so it contributes nothing and R stays
-zero there. Cells beyond N inside real chunks also have zero Phi columns and
-are equally inert.
+point at it; its Phi columns are zero, so its new R is zero, its cache row is
+zero, and it contributes nothing anywhere. Cells beyond N inside real chunks
+also have zero Phi columns and are equally inert.
 
 Single-device only for now (the sequential O/E dependency would need a
 per-block cross-chip all-reduce); the engine keeps the shard_map XLA path for
@@ -92,113 +97,130 @@ def build_slots(key, geom: PallasGeometry) -> jnp.ndarray:
     return slots.reshape(-1)
 
 
-def _kernel(slots_ref, R_in, Zc, Phi, Y, sigma, theta, prb, O_in, E_in,
-            R_out, O_out, E_out, obj_out,
-            accSum, accO, *, J: int):
-    b = pl.program_id(0)
-    p = pl.program_id(1)
-    j = pl.program_id(2)
+def chunk_stats(R, Phi, cfg: EngineConfig) -> jnp.ndarray:
+    """Per-chunk cache (n_chunks+1, K, B+1): [:, :, 0] = chunk sums of R,
+    [:, :, 1:] = chunk R Phi^T. Used to seed the kernel's cache at k-means
+    loop entry; afterwards the kernel keeps it current itself."""
+    CH = cfg.chunk_size
+    nc1 = R.shape[1] // CH
+    R3 = R.reshape(cfg.K, nc1, CH)
+    P3 = Phi.reshape(cfg.B, nc1, CH)
+    sums = jnp.sum(R3, axis=2).T[:, :, None]                   # (nc1, K, 1)
+    O_c = jnp.einsum("kng,bng->nkb", R3, P3)                   # (nc1, K, B)
+    return jnp.concatenate([sums, O_c], axis=2)
 
-    @pl.when((b == 0) & (p == 0) & (j == 0))
+
+def block_removal(cache, slots, geom: PallasGeometry) -> jnp.ndarray:
+    """Per-block removal stats (n_blocks, K, B+1) = sum of the block's
+    chunks' cached stats (dummy rows are zero)."""
+    g = cache[slots]                                            # (nb*J, K, B1)
+    return g.reshape(geom.n_blocks, geom.J, *cache.shape[1:]).sum(axis=1)
+
+
+def _kernel(slots_ref, Zc, Phi, Y, sigma, theta, prb, O_in, E_in, rem,
+            R_out, O_out, E_out, Ysum, cache_out, obj_out,
+            accSum, accO, wdiv, *, J: int):
+    b = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when((b == 0) & (j == 0))
     def _():
         O_out[:] = O_in[:]
         E_out[:] = E_in[:]
+        Ysum[:] = jnp.zeros_like(Ysum)
         obj_out[0, 0] = 0.0
         obj_out[0, 1] = 0.0
 
-    @pl.when(p == 0)
+    @pl.when(j == 0)
     def _():
-        # Phase 0: accumulate the block's removal statistics; write the chunk
-        # back unchanged (R_out aliases R_in, so this is a same-value write).
-        @pl.when(j == 0)
-        def _():
-            accSum[:] = jnp.zeros_like(accSum)
-            accO[:] = jnp.zeros_like(accO)
-        rb = R_in[:]                                    # (K, CH)
-        pb = Phi[:]                                     # (B, CH)
-        accSum[:] = accSum[:] + jnp.sum(rb, axis=1, keepdims=True)
-        accO[:] = accO[:] + jax.lax.dot_general(
-            rb, pb, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        R_out[:] = rb
-
-    @pl.when(p == 1)
-    def _():
-        @pl.when(j == 0)
-        def _():
-            # Remove the block from the global stats (harmony.py:491-492).
-            E_out[:] = E_out[:] - accSum[:] * prb[:]
-            O_out[:] = O_out[:] - accO[:]
-            accSum[:] = jnp.zeros_like(accSum)
-            accO[:] = jnp.zeros_like(accO)
-
-        # Diversity weights from the updated stats (harmony.py:495-499).
+        # Remove the whole block from the global stats using the cached
+        # per-chunk statistics (harmony.py:491-492), then fix the block's
+        # diversity weights (harmony.py:495-499).
+        E_out[:] = E_out[:] - rem[0, :, 0][:, None] * prb[:]
+        O_out[:] = O_out[:] - rem[0, :, 1:]
+        accSum[:] = jnp.zeros_like(accSum)
+        accO[:] = jnp.zeros_like(accO)
         oe = jnp.maximum(O_out[:] + E_out[:], CLAMP)
         ratio = jnp.clip(E_out[:] / oe, CLAMP, 1.0)
-        wdiv = jnp.exp(theta[:] * jnp.log(ratio))        # (K, B)
+        wdiv[:] = jnp.exp(theta[:] * jnp.log(ratio))            # (K, B)
 
-        # dist + softmax + reweight, entirely in VMEM (harmony.py:447,466-503)
-        zb = Zc[:]                                       # (d, CH)
-        pb = Phi[:]                                      # (B, CH)
-        dist = 2.0 * (1.0 - jax.lax.dot_general(
-            Y[:], zb, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32))         # (K, CH)
-        s = jnp.exp(-dist / sigma[:])
-        scale = s / jnp.sum(s, axis=0, keepdims=True)
-        r_new = scale * jax.lax.dot_general(
-            wdiv, pb, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        r_new = r_new / jnp.maximum(jnp.sum(r_new, axis=0, keepdims=True),
-                                    CLAMP)
-        R_out[:] = r_new
+    # dist + softmax + reweight, entirely in VMEM (harmony.py:447, 466-503).
+    zb = Zc[:]                                                  # (d, CH)
+    pb = Phi[:]                                                 # (B, CH)
+    dist = 2.0 * (1.0 - jax.lax.dot_general(
+        Y[:], zb, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32))                    # (K, CH)
+    s = jnp.exp(-dist / sigma[:])
+    scale = s / jnp.sum(s, axis=0, keepdims=True)
+    r_new = scale * jax.lax.dot_general(
+        wdiv[:], pb, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    r_new = r_new / jnp.maximum(jnp.sum(r_new, axis=0, keepdims=True), CLAMP)
+    R_out[:] = r_new
 
-        # Re-add statistics (harmony.py:506-507).
-        accSum[:] = accSum[:] + jnp.sum(r_new, axis=1, keepdims=True)
-        accO[:] = accO[:] + jax.lax.dot_general(
-            r_new, pb, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
+    # Per-chunk stats: re-add accumulators + the persistent cache row.
+    sum_r = jnp.sum(r_new, axis=1, keepdims=True)               # (K, 1)
+    o_r = jax.lax.dot_general(                                  # (K, B)
+        r_new, pb, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    accSum[:] = accSum[:] + sum_r
+    accO[:] = accO[:] + o_r
+    cache_out[0, :, 0:1] = sum_r
+    cache_out[0, :, 1:] = o_r
 
-        # Objective terms on the final values (harmony.py:399-402): each cell
-        # is updated exactly once per round, so per-chunk sums are exact.
-        kerr = jnp.sum(r_new * dist)
-        ent = jnp.sum(jnp.where(
-            r_new > 0.0,
-            r_new * jnp.log(jnp.where(r_new > 0.0, r_new, 1.0)),
-            0.0) * sigma[:])
-        obj_out[0, 0] = obj_out[0, 0] + kerr
-        obj_out[0, 1] = obj_out[0, 1] + ent
+    # Next round's centroid numerator Z_cos @ R_new^T (harmony.py:443).
+    Ysum[:] = Ysum[:] + jax.lax.dot_general(
+        zb, r_new, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
 
-        @pl.when(j == J - 1)
-        def _():
-            E_out[:] = E_out[:] + accSum[:] * prb[:]
-            O_out[:] = O_out[:] + accO[:]
+    # Objective terms on the final values (harmony.py:399-402): each cell is
+    # updated exactly once per round, so per-chunk sums are exact.
+    kerr = jnp.sum(r_new * dist)
+    ent = jnp.sum(jnp.where(
+        r_new > 0.0,
+        r_new * jnp.log(jnp.where(r_new > 0.0, r_new, 1.0)),
+        0.0) * sigma[:])
+    obj_out[0, 0] = obj_out[0, 0] + kerr
+    obj_out[0, 1] = obj_out[0, 1] + ent
+
+    @pl.when(j == J - 1)
+    def _():
+        # Put the block back into the global stats (harmony.py:506-507).
+        E_out[:] = E_out[:] + accSum[:] * prb[:]
+        O_out[:] = O_out[:] + accO[:]
 
 
-def fused_update_r(slots, R, Z_cos, Phi, Y, sigma, theta, Pr_b, O, E,
-                   cfg: EngineConfig, interpret: bool = False,
-                   axis_name: str | None = None):
-    """One full E-step. Returns (R, O, E, kmeans_error, entropy), the last two
-    un-normalized (the engine applies the 2000/N constant).
+def fused_update_r(slots, removal, Z_cos, Phi, Y, sigma, theta, Pr_b, O, E,
+                   cfg: EngineConfig, interpret: bool = False):
+    """One full E-step. Returns (R, O, E, Ysum, cache, kmeans_error, entropy)
+    with the objective terms un-normalized (engine applies 2000/N).
 
-    R: (K, N_alloc), Z_cos: (d, N_alloc), Phi: (B, N_alloc) where N_alloc =
-    cfg.N_local includes the trailing dummy chunk. Y: (d, K). sigma: (K,),
-    theta/Pr_b: (B,). O/E: (K, B). slots: from build_slots.
+    Z_cos: (d, N_alloc), Phi: (B, N_alloc) where N_alloc = cfg.N_local
+    includes the trailing dummy chunk. Y: (d, K). sigma: (K,), theta/Pr_b:
+    (B,). O/E: (K, B). slots: build_slots(...). removal: block_removal(...).
     """
     geom = pallas_geometry(cfg)
     K, d, B, CH = cfg.K, cfg.d, cfg.B, geom.chunk_size
     nb, J = geom.n_blocks, geom.J
+    nc1 = geom.n_chunks + 1
+    N_alloc = Z_cos.shape[1]
 
-    def chunk_map(b, p, j, slots_ref):
+    def chunk_map(b, j, slots_ref):
         return (0, slots_ref[b * J + j])
 
-    def const_map(b, p, j, slots_ref):
+    def cache_map(b, j, slots_ref):
+        return (slots_ref[b * J + j], 0, 0)
+
+    def const_map(b, j, slots_ref):
         return (0, 0)
+
+    def block_map(b, j, slots_ref):
+        return (b, 0, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(nb, 2, J),
+        grid=(nb, J),
         in_specs=[
-            pl.BlockSpec((K, CH), chunk_map),    # R
             pl.BlockSpec((d, CH), chunk_map),    # Z_cos
             pl.BlockSpec((B, CH), chunk_map),    # Phi
             pl.BlockSpec((d, K), const_map),     # Y
@@ -207,41 +229,47 @@ def fused_update_r(slots, R, Z_cos, Phi, Y, sigma, theta, Pr_b, O, E,
             pl.BlockSpec((1, B), const_map),     # Pr_b
             pl.BlockSpec((K, B), const_map),     # O
             pl.BlockSpec((K, B), const_map),     # E
+            pl.BlockSpec((1, K, B + 1), block_map),   # removal
         ],
         out_specs=[
-            pl.BlockSpec((K, CH), chunk_map),    # R (aliased, in-place)
+            pl.BlockSpec((K, CH), chunk_map),    # R (write-only)
             pl.BlockSpec((K, B), const_map),     # O
             pl.BlockSpec((K, B), const_map),     # E
+            pl.BlockSpec((d, K), const_map),     # Ysum
+            pl.BlockSpec((1, K, B + 1), cache_map),   # per-chunk cache
             pl.BlockSpec((1, 2), const_map,
                          memory_space=pltpu.SMEM),  # [kmeans_error, entropy]
         ],
         scratch_shapes=[
             pltpu.VMEM((K, 1), jnp.float32),     # accSum
             pltpu.VMEM((K, B), jnp.float32),     # accO
+            pltpu.VMEM((K, B), jnp.float32),     # wdiv
         ],
     )
 
-    # Under shard_map every output is "varying" over the mesh axis; the
-    # caller psums the small stats back to replicated (identity at 1 device).
-    vma = frozenset({axis_name}) if axis_name is not None else frozenset()
     out_shape = [
-        jax.ShapeDtypeStruct(R.shape, jnp.float32, vma=vma),
-        jax.ShapeDtypeStruct((K, B), jnp.float32, vma=vma),
-        jax.ShapeDtypeStruct((K, B), jnp.float32, vma=vma),
-        jax.ShapeDtypeStruct((1, 2), jnp.float32, vma=vma),
+        jax.ShapeDtypeStruct((K, N_alloc), jnp.float32),
+        jax.ShapeDtypeStruct((K, B), jnp.float32),
+        jax.ShapeDtypeStruct((K, B), jnp.float32),
+        jax.ShapeDtypeStruct((d, K), jnp.float32),
+        jax.ShapeDtypeStruct((nc1, K, B + 1), jnp.float32),
+        jax.ShapeDtypeStruct((1, 2), jnp.float32),
     ]
-    if axis_name is not None:
-        cast = lambda x: jax.lax.pcast(x, axis_name, to="varying")
-        slots, Y, sigma, theta, Pr_b, O, E = map(
-            cast, (slots, Y, sigma, theta, Pr_b, O, E))
 
-    R2, O2, E2, obj = pl.pallas_call(
+    R2, O2, E2, Ysum, cache, obj = pl.pallas_call(
         functools.partial(_kernel, J=J),
         grid_spec=grid_spec,
         out_shape=out_shape,
-        input_output_aliases={1: 0},  # R input (after slots) -> R output
         interpret=interpret,
-    )(slots, R, Z_cos, Phi, Y,
-      sigma.reshape(K, 1), theta.reshape(1, B), Pr_b.reshape(1, B), O, E)
+    )(slots, Z_cos, Phi, Y,
+      sigma.reshape(K, 1), theta.reshape(1, B), Pr_b.reshape(1, B), O, E,
+      removal)
 
-    return R2, O2, E2, obj[0, 0], obj[0, 1]
+    # R is a pure output now; when the block sizes divide evenly no grid step
+    # targets the dummy chunk, leaving it uninitialized — pin it (and its
+    # cache row) to zero so downstream reductions stay exact.
+    R2 = jax.lax.dynamic_update_slice(
+        R2, jnp.zeros((K, CH), jnp.float32), (0, geom.n_chunks * CH))
+    cache = cache.at[geom.n_chunks].set(0.0)
+
+    return R2, O2, E2, Ysum, cache, obj[0, 0], obj[0, 1]

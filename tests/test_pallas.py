@@ -14,7 +14,7 @@ import jax.numpy as jnp
 import harmonypy_tpu as hm
 from harmonypy_tpu.config import EngineConfig, pallas_supported
 from harmonypy_tpu.ops.pallas.update_r_fused import (
-    build_slots, fused_update_r, pallas_geometry)
+    block_removal, build_slots, chunk_stats, fused_update_r, pallas_geometry)
 from harmonypy_tpu.parallel.mesh import make_mesh
 
 
@@ -77,8 +77,10 @@ def test_fused_kernel_matches_chunk_oracle(block_size):
     cfg, p = _chunk_problem(block_size=block_size)
     geom = pallas_geometry(cfg)
     slots = build_slots(jax.random.PRNGKey(3), geom)
-    R2, O2, E2, kerr, ent = fused_update_r(
-        np.asarray(slots), jnp.asarray(p["R"]), jnp.asarray(p["Zc"]),
+    cache = chunk_stats(jnp.asarray(p["R"]), jnp.asarray(p["Phi"]), cfg)
+    removal = block_removal(cache, slots, geom)
+    R2, O2, E2, Ysum, cache2, kerr, ent = fused_update_r(
+        np.asarray(slots), removal, jnp.asarray(p["Zc"]),
         jnp.asarray(p["Phi"]), jnp.asarray(p["Y"]), jnp.asarray(p["sigma"]),
         jnp.asarray(p["theta"]), jnp.asarray(p["Pr_b"]), jnp.asarray(p["O"]),
         jnp.asarray(p["E"]), cfg, interpret=True)
@@ -88,6 +90,13 @@ def test_fused_kernel_matches_chunk_oracle(block_size):
     np.testing.assert_allclose(np.asarray(R2), R_ref, atol=2e-5)
     np.testing.assert_allclose(np.asarray(O2), O_ref, rtol=1e-4, atol=1e-3)
     np.testing.assert_allclose(np.asarray(E2), E_ref, rtol=1e-4, atol=1e-3)
+    # Fused centroid numerator and refreshed cache match recomputation.
+    np.testing.assert_allclose(np.asarray(Ysum), p["Zc"] @ R_ref.T,
+                               rtol=1e-3, atol=1e-4)
+    cache_ref = chunk_stats(jnp.asarray(R_ref), jnp.asarray(p["Phi"]), cfg)
+    np.testing.assert_allclose(np.asarray(cache2)[:geom.n_chunks],
+                               np.asarray(cache_ref)[:geom.n_chunks],
+                               rtol=1e-4, atol=1e-3)
 
     kerr_ref = (R_ref * p["dist"]).sum()
     ent_mat = np.where(R_ref > 0, R_ref * np.log(np.where(R_ref > 0, R_ref, 1)), 0)
