@@ -1,0 +1,136 @@
+"""Tiered benchmark harness, the counterpart of the reference's
+`python tests/test_harmony.py` __main__ path (reference
+tests/test_harmony.py:152-200): run the full pipeline at three scales, check
+accuracy where golden data exists, and print a timing summary against the
+reference's published numbers (BASELINE.md).
+
+Tiers:
+  small   pbmc_3500 (3.5k x 30, real data + R golden output)   ref: 3.48 s
+  medium  69k x 50 synthetic (real ircolitis blobs are absent
+          from the reference snapshot, .MISSING_LARGE_BLOBS)    ref: 9.26 s
+  lisi    400-cell LISI fixture                                 ref: ~0.3 s
+  large   858k x 29 synthetic                                   ref: 21.75 s
+
+Data files are looked up under $HARMONYPY_REF_DATA (default
+/root/reference/data); tiers degrade to synthetic data when files are absent,
+mirroring the reference harness's graceful skip (tests/test_harmony.py:75-76).
+
+Usage: python benchmarks/run_benchmarks.py [small medium large lisi]
+"""
+
+import json
+import os
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR", os.path.join(_REPO, ".jax_cache"))
+
+import numpy as np
+import pandas as pd
+
+REF_DATA = os.environ.get("HARMONYPY_REF_DATA", "/root/reference/data")
+BASELINES = {"small": 3.48, "medium": 9.26, "large": 21.75, "lisi": 0.3}
+
+
+def _timed(fn):
+    fn()  # warm-up: compile
+    t0 = time.time()
+    out = fn()
+    return out, time.time() - t0
+
+
+def _synthetic(n_cells, d, n_batches=3, n_groups=24, seed=0):
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(size=(n_groups, d)).astype(np.float32) * 5.0
+    groups = rng.integers(0, n_groups, size=n_cells)
+    batches = rng.integers(0, n_batches, size=n_cells)
+    shifts = rng.normal(size=(n_batches, d)).astype(np.float32) * 1.5
+    X = centers[groups] + shifts[batches] + \
+        rng.normal(size=(n_cells, d)).astype(np.float32)
+    meta = pd.DataFrame({"batch": [f"b{i}" for i in batches]})
+    return X.astype(np.float32), meta
+
+
+def bench_small(results):
+    import harmonypy_tpu as hm
+    from harmonypy_tpu.io import load_matrix_tsv
+
+    meta_p = os.path.join(REF_DATA, "pbmc_3500_meta.tsv.gz")
+    pcs_p = os.path.join(REF_DATA, "pbmc_3500_pcs.tsv.gz")
+    gold_p = os.path.join(REF_DATA, "pbmc_3500_pcs_harmonized.tsv.gz")
+    if not all(os.path.exists(p) for p in (meta_p, pcs_p, gold_p)):
+        print("small: data files absent, skipping")
+        return
+    meta = pd.read_csv(meta_p, sep="\t")
+    pcs = load_matrix_tsv(pcs_p)
+    gold = pd.read_csv(gold_p, sep="\t")
+    if gold.iloc[:, 0].dtype == "object":
+        gold = gold.iloc[:, 1:]
+
+    ho, dt = _timed(lambda: hm.run_harmony(pcs, meta, ["donor"],
+                                           verbose=False))
+    from scipy.stats import pearsonr
+    cors = np.array([pearsonr(ho.Z_corr[:, i], gold.iloc[:, i].values)[0]
+                     for i in range(ho.Z_corr.shape[1])])
+    results["small"] = dict(seconds=dt, min_pearson_r=float(cors.min()))
+
+
+def bench_medium(results):
+    import harmonypy_tpu as hm
+    X, meta = _synthetic(69_000, 50)
+    ho, dt = _timed(lambda: hm.run_harmony(X, meta, ["batch"], verbose=False))
+    results["medium"] = dict(seconds=dt,
+                             iters=len(ho.objective_harmony) - 1)
+
+
+def bench_large(results):
+    import harmonypy_tpu as hm
+    X, meta = _synthetic(858_000, 29)
+    ho, dt = _timed(lambda: hm.run_harmony(X, meta, ["batch"], verbose=False))
+    results["large"] = dict(seconds=dt,
+                            iters=len(ho.objective_harmony) - 1)
+
+
+def bench_lisi(results):
+    from harmonypy_tpu import compute_lisi
+    x_p = os.path.join(REF_DATA, "lisi_X.tsv.gz")
+    m_p = os.path.join(REF_DATA, "lisi_metadata.tsv.gz")
+    g_p = os.path.join(REF_DATA, "lisi_lisi.tsv.gz")
+    if all(os.path.exists(p) for p in (x_p, m_p, g_p)):
+        X = pd.read_csv(x_p, sep="\t").to_numpy()
+        meta = pd.read_csv(m_p, sep="\t")
+        gold = pd.read_csv(g_p, sep="\t").to_numpy()
+        cols = list(meta.columns)
+    else:
+        X, meta = _synthetic(400, 2)
+        gold, cols = None, ["batch"]
+    lisi, dt = _timed(lambda: compute_lisi(X, meta, cols))
+    entry = dict(seconds=dt)
+    if gold is not None:
+        entry["allclose_vs_R"] = bool(np.allclose(lisi, gold))
+    results["lisi"] = entry
+
+
+def main(tiers):
+    results = {}
+    t_all = time.time()
+    for tier in tiers:
+        globals()[f"bench_{tier}"](results)
+    print(f"\n== harmonypy_tpu benchmarks "
+          f"({time.time() - t_all:.1f}s total, incl. compile) ==")
+    for tier, entry in results.items():
+        base = BASELINES[tier]
+        extra = {k: v for k, v in entry.items() if k != "seconds"}
+        print(f"  {tier:7s} {entry['seconds']:8.3f}s   "
+              f"ref {base:6.2f}s   speedup {base / entry['seconds']:7.1f}x"
+              f"   {extra if extra else ''}")
+    print()
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:] or ["small", "medium", "lisi", "large"])

@@ -13,6 +13,8 @@ chunk instead of a pointer-chasing tree).
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import pandas as pd
 
@@ -23,6 +25,7 @@ from jax import lax
 from typing import Iterable
 
 
+@functools.partial(jax.jit, static_argnums=(1, 2))
 def _knn(X: jnp.ndarray, n_neighbors: int, chunk: int = 1024):
     """Exact brute-force kNN. X: (N, d). Returns (distances, indices), each
     (N, n_neighbors), self-neighbor dropped (reference lisi.py:53-57)."""
@@ -105,9 +108,11 @@ def compute_simpson(distances, indices, labels, n_categories, perplexity,
         .astype(np.asarray(distances).dtype))        # (N, k, C)
     logU = jnp.asarray(np.log(perplexity), dist.dtype)
     tol = jnp.asarray(tol, dist.dtype)
-    simpson = jax.jit(jax.vmap(_simpson_one_cell, in_axes=(0, 0, None, None)))(
-        dist, onehot, logU, tol)
+    simpson = _simpson_all(dist, onehot, logU, tol)
     return np.asarray(simpson)
+
+
+_simpson_all = jax.jit(jax.vmap(_simpson_one_cell, in_axes=(0, 0, None, None)))
 
 
 def compute_lisi(
@@ -126,14 +131,27 @@ def compute_lisi(
     n_cells = metadata.shape[0]
     label_colnames = list(label_colnames)
 
+    # Everything stays on device between the kNN and the final LISI values:
+    # the only host->device traffic is X and the (N,) label codes per column.
     dist, idx = _knn(jnp.asarray(X, dtype), int(perplexity * 3) - 1)
-    dist, idx = np.asarray(dist), np.asarray(idx)
+    logU = jnp.asarray(np.log(perplexity), dist.dtype)
+    tol = jnp.asarray(1e-5, dist.dtype)
 
     lisi_df = np.zeros((n_cells, len(label_colnames)))
     for i, label in enumerate(label_colnames):
         labels = pd.Categorical(metadata[label])
-        n_categories = len(labels.categories)
-        simpson = compute_simpson(
-            dist.T, idx.T, labels, n_categories, perplexity)
-        lisi_df[:, i] = 1 / simpson
+        codes = jnp.asarray(np.asarray(labels.codes, np.int32))
+        simpson = _simpson_label(dist, idx, codes,
+                                 len(labels.categories), logU, tol)
+        lisi_df[:, i] = 1 / np.asarray(simpson)
     return lisi_df
+
+
+@functools.partial(jax.jit, static_argnums=(3,))
+def _simpson_label(dist, idx, codes, n_categories, logU, tol):
+    """On-device Simpson for one label column: one-hot the neighbor codes and
+    run the vmapped bisection without leaving the device."""
+    onehot = (codes[idx][..., None]
+              == jnp.arange(n_categories)[None, None, :]).astype(dist.dtype)
+    return jax.vmap(_simpson_one_cell, in_axes=(0, 0, None, None))(
+        dist, onehot, logU, tol)

@@ -1,0 +1,46 @@
+"""CLI smoke tests: correct + lisi subcommands, file in / file out."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from harmonypy_tpu.__main__ import main as cli_main
+
+from conftest import synthetic_batched
+
+
+@pytest.fixture(scope="module")
+def files(tmp_path_factory):
+    d = tmp_path_factory.mktemp("cli")
+    X, batches, groups = synthetic_batched(n_cells=400, d=8)
+    pcs = d / "pcs.npy"
+    np.save(pcs, X)
+    meta = d / "meta.tsv"
+    pd.DataFrame({"donor": [f"d{b}" for b in batches],
+                  "group": [f"g{g}" for g in groups]}).to_csv(
+        meta, sep="\t", index=False)
+    return d, str(pcs), str(meta), X
+
+
+def test_cli_correct(files, capsys):
+    d, pcs, meta, X = files
+    out = str(d / "corrected.npy")
+    cli_main(["correct", "--pcs", pcs, "--meta", meta, "--vars", "donor",
+              "--out", out, "--max-iter-harmony", "2", "--quiet"])
+    Z = np.load(out)
+    assert Z.shape == X.shape
+    assert np.all(np.isfinite(Z))
+    assert "wrote" in capsys.readouterr().out
+
+
+def test_cli_lisi(files, capsys):
+    d, pcs, meta, X = files
+    out = str(d / "lisi.tsv")
+    cli_main(["lisi", "--x", pcs, "--meta", meta, "--labels", "donor,group",
+              "--out", out])
+    lisi = pd.read_csv(out, sep="\t")
+    assert list(lisi.columns) == ["donor", "group"]
+    assert lisi.shape == (X.shape[0], 2)
+    # LISI range sanity: 1 <= lisi <= #categories
+    assert (lisi["donor"] >= 1 - 1e-6).all()
+    assert (lisi["donor"] <= 3 + 1e-6).all()
