@@ -46,14 +46,15 @@ def main():
     from harmonypy_tpu.parallel.mesh import make_mesh, AXIS
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    from harmonypy_tpu.config import pallas_supported
+    from harmonypy_tpu.config import fused_geometry_ok, pallas_supported
 
     mesh = make_mesh()
     n_dev = int(mesh.devices.size)
     use_pallas = (mesh.devices.flat[0].platform == "tpu"
                   and pallas_supported(N_CELLS, n_dev))
+    use_fused_xla = (not use_pallas) and fused_geometry_ok(N_CELLS, n_dev)
     cfg = EngineConfig(N=N_CELLS, d=N_PCS, K=K, B=N_BATCHES, n_devices=n_dev,
-                       use_pallas=use_pallas)
+                       use_pallas=use_pallas, use_fused_xla=use_fused_xla)
     engine = get_engine(cfg, mesh)
 
     # Synthetic clustered embedding with additive batch offsets, generated
@@ -66,7 +67,11 @@ def main():
         batches = jax.random.randint(kb, (cfg.N_pad,), 0, N_BATCHES)
         shifts = jax.random.normal(ks, (N_BATCHES, N_PCS), jnp.float32) * 1.5
         noise = jax.random.normal(kn, (cfg.N_pad, N_PCS), jnp.float32)
-        mask = (jnp.arange(cfg.N_pad) < cfg.N).astype(jnp.float32)
+        # Per-shard padding layout (parallel/sharding.shard_mask): real cells
+        # first on every shard, zero padding at each shard's end.
+        off = jnp.arange(cfg.N_pad) % cfg.N_local
+        gid = (jnp.arange(cfg.N_pad) // cfg.N_local) * cfg.N_shard_real + off
+        mask = ((off < cfg.N_shard_real) & (gid < cfg.N)).astype(jnp.float32)
         Z = (centers[groups] + shifts[batches] + noise).T * mask[None, :]
         Phi = (batches[None, :] == jnp.arange(N_BATCHES)[:, None]
                ).astype(jnp.float32) * mask[None, :]

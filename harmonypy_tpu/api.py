@@ -14,7 +14,7 @@ import pandas as pd
 
 import jax
 
-from .config import EngineConfig, pallas_supported
+from .config import EngineConfig, fused_geometry_ok, pallas_supported
 from .engine import get_engine
 from .state import HarmonyParams, HarmonyState
 from .parallel.mesh import default_mesh, make_mesh
@@ -43,6 +43,7 @@ def run_harmony(
     device=None,
     mesh=None,
     checkpoint_dir=None,
+    resume_from=None,
     use_pallas=None,
     chunk_size=2048,
 ):
@@ -57,6 +58,9 @@ def run_harmony(
                       is all devices of `device`'s platform.
       checkpoint_dir  if set, snapshot the state pytree after every harmony
                       iteration (resume support the reference lacks).
+      resume_from     path of a checkpoint written by checkpoint_dir; the fit
+                      continues from that iteration (bitwise-identical to an
+                      uninterrupted run: the RNG key lives in the state).
     """
     N = meta_data.shape[0]
     data_mat = np.asarray(data_mat.values if hasattr(data_mat, "values") else data_mat)
@@ -152,7 +156,7 @@ def run_harmony(
         max_iter_harmony, max_iter_kmeans,
         epsilon_cluster, epsilon_harmony, nclust, block_size, verbose,
         random_state, device, mesh=mesh, checkpoint_dir=checkpoint_dir,
-        use_pallas=use_pallas, chunk_size=chunk_size,
+        resume_from=resume_from, use_pallas=use_pallas, chunk_size=chunk_size,
     )
 
 
@@ -165,7 +169,7 @@ class Harmony:
                  lambda_estimation, max_iter_harmony, max_iter_kmeans,
                  epsilon_kmeans, epsilon_harmony, K, block_size, verbose,
                  random_state, device=None, *, mesh=None, checkpoint_dir=None,
-                 use_pallas=None, chunk_size=2048):
+                 resume_from=None, use_pallas=None, chunk_size=2048):
         Z = np.asarray(Z, dtype=np.float32)
         Phi = np.asarray(Phi, dtype=np.float32)
         if mesh is None:
@@ -193,10 +197,16 @@ class Harmony:
             use_pallas = (mesh.devices.flat[0].platform == "tpu"
                           and pallas_supported(self.N, n_devices,
                                                float(block_size), chunk_size))
+        # Multi-device (or non-TPU) large problems use the fused XLA E-step —
+        # same chunk-cache design, per-block psums across shards; small
+        # problems fall back to the per-cell path (ops/update_r.py).
+        use_fused_xla = (not use_pallas) and fused_geometry_ok(
+            self.N, n_devices, float(block_size), int(chunk_size))
         cfg = EngineConfig(
             N=self.N, d=self.d, K=K, B=self.B,
             n_devices=n_devices,
-            use_pallas=bool(use_pallas), chunk_size=int(chunk_size),
+            use_pallas=bool(use_pallas), use_fused_xla=bool(use_fused_xla),
+            chunk_size=int(chunk_size),
             max_iter_harmony=max_iter_harmony,
             max_iter_kmeans=max_iter_kmeans,
             epsilon_kmeans=float(epsilon_kmeans),
@@ -222,7 +232,26 @@ class Harmony:
         self._lamb_raw = np.asarray(lamb, dtype=np.float32)
 
         key = jax.random.PRNGKey(random_state)
-        if not verbose and checkpoint_dir is None:
+        if resume_from is not None:
+            from .utils.checkpoint import load_state
+            state = load_state(resume_from)
+            state = jax.device_put(
+                state, jax.tree.map(
+                    lambda spec: jax.sharding.NamedSharding(mesh, spec),
+                    engine.state_specs,
+                    is_leaf=lambda x: isinstance(
+                        x, jax.sharding.PartitionSpec)))
+            start_iter = int(state.n_rounds) + 1
+            for i in range(start_iter, max_iter_harmony + 1):
+                if bool(state.converged):
+                    break
+                if verbose:
+                    logger.info(f"Iteration {i} of {max_iter_harmony} "
+                                f"(resumed)")
+                state = engine.iter_fn(state, self._data, params)
+                if checkpoint_dir is not None:
+                    save_state(f"{checkpoint_dir}/harmony_iter_{i}.npz", state)
+        elif not verbose and checkpoint_dir is None:
             # Single compiled program: init + all harmony iterations in-graph.
             state = engine.fit_fn(self._data, params, key)
         else:
@@ -277,8 +306,9 @@ class Harmony:
 
     # ---- NumPy-view properties (reference harmony.py:288-355) -----------
     def _cells(self, arr) -> np.ndarray:
-        """Strip cell padding and transpose to cells-first layout."""
-        return np.asarray(arr)[:, : self.N].T
+        """Strip per-shard cell padding and transpose to cells-first."""
+        from .parallel.sharding import unpad_cells
+        return unpad_cells(np.asarray(arr), self.cfg).T
 
     @property
     def Z_corr(self):

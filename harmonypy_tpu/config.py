@@ -56,22 +56,35 @@ class EngineConfig:
     # max_iter=25) used at reference harmony.py:370-372).
     kmeans_max_iter: int = 25
     kmeans_tol: float = 1e-4
+    # k-means++ seeding runs on a uniform subsample of at most this many
+    # cells (the K sequential D^2-sampling steps are latency-bound at large
+    # N; Lloyd then refines on ALL cells, so seeding quality is preserved).
+    # Problems with N <= the cap see the exact full-data behavior.
+    kmeanspp_sample: int = 131072
 
     # Matmul precision for jnp.dot/einsum ("float32" = full fp32 on MXU).
     matmul_precision: str = "float32"
 
-    # Fused Pallas E-step (ops/pallas/update_r_fused.py). When on, cells are
-    # block-shuffled at CHUNK granularity and N is padded to a chunk multiple
-    # plus one trailing all-zero dummy chunk.
+    # Fused chunk-granular E-step. use_pallas selects the single-chip Pallas
+    # kernel (ops/pallas/update_r_fused.py); use_fused_xla selects the pure
+    # XLA equivalent that runs on any mesh (ops/update_r_fused_xla.py). With
+    # either, cells are block-shuffled at CHUNK granularity and every shard
+    # is padded to a chunk multiple plus one trailing all-zero dummy chunk.
     use_pallas: bool = False
+    use_fused_xla: bool = False
     chunk_size: int = 2048
+
+    @property
+    def fused_estep(self) -> bool:
+        return self.use_pallas or self.use_fused_xla
 
     # ---- derived geometry ------------------------------------------------
     @property
     def N_pad(self) -> int:
-        """Cells padded so every device holds the same count; the Pallas path
-        additionally pads each shard to a chunk multiple + 1 dummy chunk."""
-        if self.use_pallas:
+        """Cells padded so every device holds the same count; the fused
+        E-step paths additionally pad each shard to a chunk multiple + 1
+        dummy chunk."""
+        if self.fused_estep:
             per_dev = round_up(cdiv(self.N, self.n_devices),
                                self.chunk_size) + self.chunk_size
             return per_dev * self.n_devices
@@ -80,6 +93,16 @@ class EngineConfig:
     @property
     def N_local(self) -> int:
         return self.N_pad // self.n_devices
+
+    @property
+    def N_shard_real(self) -> int:
+        """Per-shard REAL-cell capacity. Padding lives at the end of every
+        shard (not just globally at the end): the fused E-step paths require
+        each shard's final chunk to be the all-zero dummy. Real cell g lives
+        on shard g // N_shard_real at local offset g % N_shard_real."""
+        if self.fused_estep:
+            return self.N_local - self.chunk_size
+        return self.N_local
 
     @property
     def B1(self) -> int:
@@ -127,18 +150,30 @@ class EngineConfig:
         assert 0.0 < self.block_size <= 1.0
         # Last block must be non-negative; guaranteed by n_blocks = ceil(1/bs).
         assert self.last_block >= 0, (self.N_local, self.n_blocks, self.cells_per_block)
+        assert not (self.use_pallas and self.use_fused_xla), self
         if self.use_pallas:
             assert pallas_supported(self.N, self.n_devices, self.block_size,
                                     self.chunk_size), self
+        if self.use_fused_xla:
+            assert fused_geometry_ok(self.N, self.n_devices, self.block_size,
+                                     self.chunk_size), self
 
 
-def pallas_supported(N: int, n_devices: int, block_size: float = 0.05,
-                     chunk_size: int = 2048) -> bool:
-    """Whether the fused Pallas E-step's chunk geometry works for a problem:
-    single device (for now) and at least one chunk per update block."""
-    if n_devices != 1:
-        return False
+def fused_geometry_ok(N: int, n_devices: int, block_size: float = 0.05,
+                      chunk_size: int = 2048) -> bool:
+    """Whether chunk-granular blocks work for a problem: every shard must
+    have at least one real chunk per update block."""
     per_dev = round_up(cdiv(N, n_devices), chunk_size) + chunk_size
     n_chunks = per_dev // chunk_size - 1
     n_blocks = int(math.ceil(1.0 / block_size))
     return int(n_chunks * block_size) >= 1 and n_chunks >= n_blocks
+
+
+def pallas_supported(N: int, n_devices: int, block_size: float = 0.05,
+                     chunk_size: int = 2048) -> bool:
+    """Whether the fused Pallas E-step applies: single device (the in-kernel
+    sequential O/E update cannot psum mid-grid; multi-device meshes use the
+    XLA fused path) and workable chunk geometry."""
+    if n_devices != 1:
+        return False
+    return fused_geometry_ok(N, n_devices, block_size, chunk_size)

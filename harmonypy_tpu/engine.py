@@ -37,6 +37,7 @@ from .ops.ridge import moe_correct_ridge
 from .ops.objective import compute_objective_terms, cross_entropy_from_stats
 from .ops.pallas.update_r_fused import (
     block_removal, build_slots, chunk_stats, fused_update_r, pallas_geometry)
+from .ops.update_r_fused_xla import fused_update_r_xla
 
 AXIS = "cells"
 
@@ -107,7 +108,7 @@ class HarmonyEngine:
         # check_vma (replication typing) trips on pallas_call index_map
         # internals; the pallas path is single-device and every psum here is a
         # partial-sum reduction, so disabling the checker is semantics-free.
-        check_vma = not cfg.use_pallas
+        check_vma = not cfg.fused_estep
         init = jax.shard_map(
             self._init_impl, mesh=mesh,
             in_specs=(self.data_specs, self.params_specs, rep),
@@ -227,12 +228,13 @@ class HarmonyEngine:
             converged=jnp.zeros((), jnp.bool_))
         return lax.while_loop(cond, body, carry)
 
-    def _cluster_pallas(self, state: HarmonyState, Phi,
-                        params: HarmonyParams) -> _KmeansCarry:
-        """Fused-kernel k-means loop. The kernel returns, besides the new
-        R/O/E, the NEXT round's centroid numerator (Z_cos R^T) and the
-        per-chunk stats cache that replaces the removal pass, so each round
-        reads Z_cos once and writes R once — nothing else at K x N scale."""
+    def _cluster_fused(self, state: HarmonyState, Phi,
+                       params: HarmonyParams) -> _KmeansCarry:
+        """Fused-kernel k-means loop (Pallas single chip, or the XLA
+        equivalent on any mesh). The kernel returns, besides the new R/O/E,
+        the NEXT round's centroid numerator (Z_cos R^T) and the per-chunk
+        stats cache that replaces the removal pass, so each round reads
+        Z_cos once and writes R once — nothing else at K x N scale."""
         cfg = self.cfg
         geom = pallas_geometry(cfg)
 
@@ -255,14 +257,21 @@ class HarmonyEngine:
         def body(c: C) -> C:
             Y = l2_normalize_cols(lax.psum(c.Ysum, AXIS))  # harmony.py:443-444
             key, k_r = jax.random.split(c.key)
+            # Same slot table on every shard; each shard applies it to its
+            # own chunks, so global block b = union of the shards' b-blocks.
             slots = build_slots(k_r, geom)
-            removal = block_removal(c.cache, slots, geom)
-            R, O, E, Ysum, cache, kerr, ent = fused_update_r(
-                slots, removal, state.Z_cos, Phi, Y, params.sigma,
-                params.theta, params.Pr_b, c.O, c.E, cfg,
-                interpret=self._pallas_interpret)
-            O = lax.psum(O, AXIS)  # identity at 1 device
-            E = lax.psum(E, AXIS)
+            removal = lax.psum(block_removal(c.cache, slots, geom), AXIS)
+            if cfg.use_pallas:
+                # Single chip: O/E come back globally exact from the kernel.
+                R, O, E, Ysum, cache, kerr, ent = fused_update_r(
+                    slots, removal, state.Z_cos, Phi, Y, params.sigma,
+                    params.theta, params.Pr_b, c.O, c.E, cfg,
+                    interpret=self._pallas_interpret)
+            else:
+                # Any mesh: per-block psums keep O/E exact across shards.
+                R, O, E, Ysum, cache, kerr, ent = fused_update_r_xla(
+                    slots, removal, state.Z_cos, Phi, Y, params.sigma,
+                    params.theta, params.Pr_b, c.O, c.E, cfg, AXIS)
             nc = jnp.float32(2000.0 / cfg.N)
             terms = (lax.psum(kerr, AXIS) * nc,
                      lax.psum(ent, AXIS) * nc,
@@ -320,8 +329,8 @@ class HarmonyEngine:
             Z_orig, Phi, mask = data
 
             # ---- cluster(): fuzzy k-means loop (harmony.py:437-462) -----
-            if cfg.use_pallas:
-                carry = self._cluster_pallas(state, Phi, params)
+            if cfg.fused_estep:
+                carry = self._cluster_fused(state, Phi, params)
             else:
                 carry = self._cluster_xla(state, Phi, mask, params)
 

@@ -173,12 +173,13 @@ def load_sharded_data(pcs_path: str, meta_data, vars_use, mesh,
 
     n_pad = cfg.N_pad
     per_dev = cfg.N_local
+    q = cfg.N_shard_real  # per-shard real-cell capacity (padding at shard end)
     sh2 = NamedSharding(mesh, P(None, AXIS))
     sh1 = NamedSharding(mesh, P(AXIS))
 
     def per_device_range(dev_idx):
-        lo = dev_idx * per_dev
-        return lo, min(lo + per_dev, N)
+        lo = dev_idx * q
+        return lo, max(min(lo + q, N), lo)
 
     # Each process materializes only its addressable devices' shards.
     local_idx = {d_.id: i for i, d_ in enumerate(mesh.devices.flat)}

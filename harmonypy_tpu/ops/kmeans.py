@@ -125,6 +125,19 @@ def kmeans_init(key, Z_cos, mask, cfg: EngineConfig, axis_name):
     Z_cos: (d, N_local) sharded; mask: (N_local,) float {0,1}.
     Returns centroids (d, K), replicated (NOT yet L2-normalized — the caller
     normalizes, mirroring reference harmony.py:377).
+
+    Seeding runs on a uniform subsample of at most cfg.kmeanspp_sample cells
+    (each shard contributes an equal share); Lloyd refines on all cells.
     """
-    centers = _kmeanspp_seed(key, Z_cos, mask, cfg, axis_name)
+    Nl = Z_cos.shape[1]
+    Sl = -(-cfg.kmeanspp_sample // cfg.n_devices)  # per-shard share
+    if Sl < Nl:
+        key, k_sub = jax.random.split(key)
+        shard = lax.axis_index(axis_name)
+        sub = jax.random.permutation(
+            jax.random.fold_in(k_sub, shard), Nl)[:Sl]
+        X_seed, m_seed = Z_cos[:, sub], mask[sub]
+    else:
+        X_seed, m_seed = Z_cos, mask
+    centers = _kmeanspp_seed(key, X_seed, m_seed, cfg, axis_name)
     return _lloyd(centers, Z_cos, mask, cfg, axis_name)

@@ -42,17 +42,18 @@ def moe_correct_ridge(Z_orig, Phi, R, E, params: HarmonyParams,
     K, B1, d = cfg.K, cfg.B1, cfg.d
     A = jnp.concatenate([mask[None, :], Phi], axis=0)          # (B1, Nl) Phi_moe
 
-    # Normal equations, accumulated as B1 skinny GEMMs to avoid a (K,B1,Nl)
-    # intermediate: cov[k,b,c] = sum_n A[b,n] A[c,n] R[k,n].
-    cov_rows = []
-    rhs_rows = []
-    for b in range(B1):
-        Ab = A[b][None, :]                                      # (1, Nl)
-        cov_rows.append((A * Ab) @ R.T)                         # (B1, K)
-        rhs_rows.append((R * Ab) @ Z_orig.T)                    # (K, d)
-    cov = jnp.stack(cov_rows, axis=0)                           # (B1, B1, K)
-    cov = lax.psum(jnp.transpose(cov, (2, 0, 1)), axis_name)    # (K, B1, B1)
-    rhs = lax.psum(jnp.stack(rhs_rows, axis=1), axis_name)      # (K, B1, d)
+    # Normal equations for ALL K systems in ONE GEMM against R:
+    #   cov[k,b,c] = sum_n A[b,n] A[c,n] R[k,n]
+    #   rhs[k,b,:] = sum_n A[b,n] Z[:,n] R[k,n]
+    # Stack the B1*(B1+d) "feature products" as rows of G and hit R^T once —
+    # R (the K x N giant) is read exactly once, vs once per b in the naive
+    # per-column formulation.
+    A2 = (A[:, None, :] * A[None, :, :]).reshape(B1 * B1, -1)   # (B1^2, Nl)
+    ZA = (A[:, None, :] * Z_orig[None, :, :]).reshape(B1 * d, -1)
+    G = jnp.concatenate([A2, ZA], axis=0)                       # (B1(B1+d), Nl)
+    S = lax.psum(G @ R.T, axis_name)                            # (B1(B1+d), K)
+    cov = jnp.transpose(S[: B1 * B1].reshape(B1, B1, K), (2, 0, 1))
+    rhs = jnp.transpose(S[B1 * B1:].reshape(B1, d, K), (2, 0, 1))
 
     # Ridge penalty per cluster (dynamic lambda: reference :541-544, 587-591).
     if cfg.lambda_estimation:
@@ -69,10 +70,8 @@ def moe_correct_ridge(Z_orig, Phi, R, E, params: HarmonyParams,
     W = jax.scipy.linalg.cho_solve((L, True), rhs)              # (K, B1, d)
     W = W.at[:, 0, :].set(0.0)                                  # keep intercept
 
-    # correction[d, n] = sum_k sum_b W[k,b,d] A[b,n] R[k,n], applied as B1
-    # shard-local GEMMs: T_b = R^T @ W[:,b,:]  (Nl, d).
-    corr = jnp.zeros_like(Z_orig)
-    for b in range(B1):
-        Tb = R.T @ W[:, b, :]                                   # (Nl, d)
-        corr = corr + Tb.T * A[b][None, :]
+    # correction[d, n] = sum_k sum_b W[k,b,d] A[b,n] R[k,n]: one shard-local
+    # GEMM T = R^T W (again reading R once), then a masked contraction over b.
+    T = (R.T @ W.reshape(K, B1 * d)).reshape(-1, B1, d)         # (Nl, B1, d)
+    corr = jnp.einsum("bn,nbd->dn", A, T)
     return Z_orig - corr

@@ -1,0 +1,50 @@
+"""Checkpoint / resume: interrupted fits continue bitwise-identically
+(the RNG key is part of the state pytree, so the continuation replays the
+exact block permutations the uninterrupted run would have used)."""
+
+import numpy as np
+import pandas as pd
+
+import harmonypy_tpu as hm
+from harmonypy_tpu.parallel.mesh import make_mesh
+from harmonypy_tpu.utils.checkpoint import load_state, save_state
+
+from conftest import synthetic_batched
+
+
+def _problem():
+    X, batches, _ = synthetic_batched(n_cells=500, d=8)
+    meta = pd.DataFrame({"donor": [f"d{b}" for b in batches]})
+    return X, meta
+
+
+def test_state_roundtrip(tmp_path):
+    X, meta = _problem()
+    mesh = make_mesh(n_devices=4)
+    ho = hm.run_harmony(X, meta, ["donor"], mesh=mesh, verbose=False,
+                        max_iter_harmony=2)
+    path = str(tmp_path / "s.npz")
+    save_state(path, ho.state)
+    loaded = load_state(path)
+    for a, b in zip(ho.state, loaded):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_resume_matches_uninterrupted(tmp_path):
+    X, meta = _problem()
+    mesh = make_mesh(n_devices=4)
+
+    # The checkpointing run is also the uninterrupted oracle: it snapshots
+    # after every iteration (history buffer shapes are part of the engine
+    # geometry, so the resumed run uses the same max_iter_harmony).
+    ckpt = str(tmp_path)
+    full = hm.run_harmony(X, meta, ["donor"], mesh=mesh, verbose=True,
+                          max_iter_harmony=4, random_state=3,
+                          checkpoint_dir=ckpt)
+    resumed = hm.run_harmony(X, meta, ["donor"], mesh=mesh, verbose=True,
+                             max_iter_harmony=4, random_state=3,
+                             resume_from=f"{ckpt}/harmony_iter_2.npz")
+
+    np.testing.assert_array_equal(full.Z_corr, resumed.Z_corr)
+    np.testing.assert_allclose(full.objective_harmony,
+                               resumed.objective_harmony)

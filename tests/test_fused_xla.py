@@ -1,0 +1,125 @@
+"""Fused XLA E-step (ops/update_r_fused_xla.py): equivalence with the Pallas
+kernel on one device, global-stat exactness on an 8-device mesh, and the
+end-to-end multi-device engine path."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+import harmonypy_tpu as hm
+from harmonypy_tpu.config import EngineConfig, fused_geometry_ok
+from harmonypy_tpu.engine import get_engine, AXIS
+from harmonypy_tpu.ops.pallas.update_r_fused import (
+    block_removal, build_slots, chunk_stats, fused_update_r, pallas_geometry)
+from harmonypy_tpu.ops.update_r_fused_xla import fused_update_r_xla
+from harmonypy_tpu.parallel.mesh import make_mesh
+from harmonypy_tpu.parallel.sharding import shard_inputs
+from harmonypy_tpu.state import HarmonyParams
+
+from test_pallas import _chunk_problem
+
+
+def test_fused_xla_matches_pallas_kernel():
+    """Identical inputs + slot table => identical semantics (up to GEMM
+    reduction order) between the two fused implementations."""
+    cfg, p = _chunk_problem(block_size=0.25)
+    cfg = EngineConfig(**{**cfg.__dict__, "use_pallas": False,
+                          "use_fused_xla": True})
+    geom = pallas_geometry(cfg)
+    slots = build_slots(jax.random.PRNGKey(3), geom)
+    cache = chunk_stats(jnp.asarray(p["R"]), jnp.asarray(p["Phi"]), cfg)
+    removal = block_removal(cache, slots, geom)
+    args = (jnp.asarray(p["Zc"]), jnp.asarray(p["Phi"]), jnp.asarray(p["Y"]),
+            jnp.asarray(p["sigma"]), jnp.asarray(p["theta"]),
+            jnp.asarray(p["Pr_b"]), jnp.asarray(p["O"]), jnp.asarray(p["E"]))
+
+    R_p, O_p, E_p, Ys_p, c_p, ke_p, en_p = fused_update_r(
+        slots, removal, *args, cfg, interpret=True)
+
+    mesh = make_mesh(n_devices=1)
+    fx = jax.jit(jax.shard_map(
+        lambda *a: fused_update_r_xla(*a, cfg, AXIS),
+        mesh=mesh,
+        in_specs=(P(),) * 2 + (P(None, AXIS), P(None, AXIS)) + (P(),) * 6,
+        out_specs=(P(None, AXIS), P(), P(), P(), P(), P(), P()),
+        check_vma=False))
+    R_x, O_x, E_x, Ys_x, c_x, ke_x, en_x = fx(slots, removal, *args)
+
+    np.testing.assert_allclose(np.asarray(R_x), np.asarray(R_p), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(O_x), np.asarray(O_p),
+                               rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(E_x), np.asarray(E_p),
+                               rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(Ys_x), np.asarray(Ys_p),
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(c_x), np.asarray(c_p),
+                               rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(float(ke_x), float(ke_p), rtol=1e-4)
+    np.testing.assert_allclose(float(en_x), float(en_p), rtol=1e-4)
+
+
+def _synthetic(N, d=8, B=3, seed=0):
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(size=(6, d)) * 4
+    g = rng.integers(0, 6, N)
+    b = rng.integers(0, B, N)
+    shifts = rng.normal(size=(B, d)) * 2
+    X = (centers[g] + shifts[b] + rng.normal(size=(N, d))).astype(np.float32)
+    meta = pd.DataFrame({"batch": [f"b{i}" for i in b]})
+    return X, meta
+
+
+def test_fused_xla_multidevice_global_stats_exact():
+    """On an 8-device mesh the replicated O/E must track R exactly through
+    the sequential per-block psums: O == R Phi^T and E == outer(sum R, Pr_b)
+    recomputed from the final sharded R."""
+    N, d, B, K, CH = 21_000, 8, 3, 12, 128
+    X, meta = _synthetic(N, d, B)
+    mesh = make_mesh(n_devices=8)
+    assert fused_geometry_ok(N, 8, 0.05, CH)
+    ho = hm.run_harmony(X, meta, ["batch"], mesh=mesh, verbose=False,
+                        nclust=K, chunk_size=CH, max_iter_harmony=2)
+    assert ho.cfg.use_fused_xla and not ho.cfg.use_pallas
+    R = ho.R.T                                   # (K, N)
+    Phi = ho.Phi.T                               # (B, N)
+    np.testing.assert_allclose(ho.O, R @ Phi.T, rtol=2e-3, atol=2e-2)
+    np.testing.assert_allclose(
+        ho.E, np.outer(R.sum(axis=1), ho.Pr_b), rtol=2e-3, atol=2e-2)
+    obj = ho.objective_harmony
+    assert obj[-1] < obj[0]
+
+
+def test_fused_xla_multidevice_matches_single_device_quality():
+    """1-device vs 8-device fused runs have different chunk partitions (per-
+    shard geometry) but must land on equivalent corrections."""
+    N = 21_000
+    X, meta = _synthetic(N)
+    ho1 = hm.run_harmony(X, meta, ["batch"], mesh=make_mesh(n_devices=1),
+                         verbose=False, nclust=12, chunk_size=128,
+                         use_pallas=False)
+    ho8 = hm.run_harmony(X, meta, ["batch"], mesh=make_mesh(n_devices=8),
+                         verbose=False, nclust=12, chunk_size=128)
+    assert ho1.cfg.use_fused_xla and ho8.cfg.use_fused_xla
+    corr = np.corrcoef(ho1.Z_corr.ravel(), ho8.Z_corr.ravel())[0, 1]
+    assert corr > 0.99, corr
+    l1 = hm.compute_lisi(ho1.Z_corr, meta, ["batch"]).mean()
+    l8 = hm.compute_lisi(ho8.Z_corr, meta, ["batch"]).mean()
+    assert abs(l1 - l8) < 0.2, (l1, l8)
+
+
+def test_fused_xla_seed_reproducible():
+    N = 21_000
+    X, meta = _synthetic(N, seed=5)
+    mesh = make_mesh(n_devices=8)
+
+    def run(seed):
+        return hm.run_harmony(X, meta, ["batch"], mesh=mesh, verbose=False,
+                              nclust=12, chunk_size=128, max_iter_harmony=2,
+                              random_state=seed).Z_corr
+
+    np.testing.assert_array_equal(run(11), run(11))
+    assert np.abs(run(11) - run(12)).sum() > 1.0
