@@ -15,6 +15,11 @@ Data files are looked up under $HARMONYPY_REF_DATA (default
 /root/reference/data); tiers degrade to synthetic data when files are absent,
 mirroring the reference harness's graceful skip (tests/test_harmony.py:75-76).
 
+These tiers time the full user-facing run_harmony() call: host preprocessing
++ host->device upload + fit. On a tunneled development chip the upload
+dominates the large tier (~100 MB over ~10-250 MB/s); bench.py at the repo
+root times the on-device pipeline itself.
+
 Usage: python benchmarks/run_benchmarks.py [small medium large lisi]
 """
 

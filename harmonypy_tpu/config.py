@@ -132,8 +132,11 @@ class EngineConfig:
     # History buffer sizes (ring buffers carried in the state pytree).
     @property
     def kmeans_hist_len(self) -> int:
-        # one objective at init + up to max_iter_kmeans per harmony iteration
-        return 1 + self.max_iter_harmony * self.max_iter_kmeans
+        # one objective at init + up to max_iter_kmeans per harmony
+        # iteration; never smaller than the windowed-convergence slice
+        # (window_size + 2) so tiny max_iter_kmeans configs stay valid.
+        return max(1 + self.max_iter_harmony * self.max_iter_kmeans,
+                   self.window_size + 2)
 
     @property
     def harmony_hist_len(self) -> int:
