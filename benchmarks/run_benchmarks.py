@@ -38,7 +38,8 @@ import numpy as np
 import pandas as pd
 
 REF_DATA = os.environ.get("HARMONYPY_REF_DATA", "/root/reference/data")
-BASELINES = {"small": 3.48, "medium": 9.26, "large": 21.75, "lisi": 0.3}
+BASELINES = {"small": 3.48, "medium": 9.26, "large": 21.75, "lisi": 0.3,
+             "xlarge": None}
 
 
 def _timed(fn):
@@ -100,6 +101,69 @@ def bench_large(results):
                             iters=len(ho.objective_harmony) - 1)
 
 
+def bench_xlarge(results):
+    """5M cells x 50 PCs — ~6x the reference's largest published workload
+    (858k, README.md:54), on one chip. No reference baseline exists at this
+    scale (the v0.1.0 NumPy path extrapolates to ~30+ min); reported as
+    absolute time + cells/s. Data is generated on device: at this size the
+    host->device upload would dominate on a tunneled dev chip."""
+    import jax
+    import jax.numpy as jnp
+    from harmonypy_tpu.config import EngineConfig, pallas_supported
+    from harmonypy_tpu.engine import get_engine
+    from harmonypy_tpu.state import HarmonyData, HarmonyParams
+    from harmonypy_tpu.parallel.mesh import make_mesh, AXIS
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    N, d, B, K = 5_000_000, 50, 6, 100
+    mesh = make_mesh()
+    n_dev = int(mesh.devices.size)
+    use_pallas = (mesh.devices.flat[0].platform == "tpu"
+                  and pallas_supported(N, n_dev))
+    cfg = EngineConfig(N=N, d=d, K=K, B=B, n_devices=n_dev,
+                       use_pallas=use_pallas,
+                       use_fused_xla=not use_pallas)
+    engine = get_engine(cfg, mesh)
+
+    @jax.jit
+    def gen(key):
+        kc, kg, kb, ks, kn = jax.random.split(key, 5)
+        centers = jax.random.normal(kc, (32, d), jnp.float32) * 5.0
+        groups = jax.random.randint(kg, (cfg.N_pad,), 0, 32)
+        batches = jax.random.randint(kb, (cfg.N_pad,), 0, B)
+        shifts = jax.random.normal(ks, (B, d), jnp.float32) * 1.5
+        noise = jax.random.normal(kn, (cfg.N_pad, d), jnp.float32)
+        off = jnp.arange(cfg.N_pad) % cfg.N_local
+        gid = (jnp.arange(cfg.N_pad) // cfg.N_local) * cfg.N_shard_real + off
+        mask = ((off < cfg.N_shard_real) & (gid < cfg.N)).astype(jnp.float32)
+        Z = (centers[groups] + shifts[batches] + noise).T * mask[None, :]
+        Phi = (batches[None, :] == jnp.arange(B)[:, None]
+               ).astype(jnp.float32) * mask[None, :]
+        return Z, Phi, mask
+
+    sh2 = NamedSharding(mesh, P(None, AXIS))
+    sh1 = NamedSharding(mesh, P(AXIS))
+    Z, Phi, mask = jax.jit(gen, out_shardings=(sh2, sh2, sh1))(
+        jax.random.PRNGKey(0))
+    data = HarmonyData(Z_orig=Z, Phi=Phi, mask=mask)
+    params = HarmonyParams(
+        theta=jnp.full((B,), 2.0, jnp.float32),
+        sigma=jnp.full((K,), 0.1, jnp.float32),
+        lamb=jnp.asarray([0.0] + [1.0] * B, jnp.float32),
+        Pr_b=(jnp.sum(Phi, axis=1) / N).astype(jnp.float32))
+
+    def run():
+        state = engine.fit_fn(data, params, jax.random.PRNGKey(0))
+        return int(state.n_rounds)
+
+    run()
+    t0 = time.time()
+    iters = run()
+    dt = time.time() - t0
+    results["xlarge"] = dict(seconds=dt, iters=iters,
+                             cells_per_s=round(N / dt))
+
+
 def bench_lisi(results):
     from harmonypy_tpu import compute_lisi
     x_p = os.path.join(REF_DATA, "lisi_X.tsv.gz")
@@ -130,8 +194,9 @@ def main(tiers):
     for tier, entry in results.items():
         base = BASELINES[tier]
         extra = {k: v for k, v in entry.items() if k != "seconds"}
-        print(f"  {tier:7s} {entry['seconds']:8.3f}s   "
-              f"ref {base:6.2f}s   speedup {base / entry['seconds']:7.1f}x"
+        vs = (f"ref {base:6.2f}s   speedup {base / entry['seconds']:7.1f}x"
+              if base else "no reference baseline at this scale")
+        print(f"  {tier:7s} {entry['seconds']:8.3f}s   {vs}"
               f"   {extra if extra else ''}")
     print()
     print(json.dumps(results))

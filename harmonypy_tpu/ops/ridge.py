@@ -30,6 +30,14 @@ from jax import lax
 from ..config import EngineConfig
 from ..state import HarmonyParams
 
+# Cap per-chunk stacked-feature temporaries at ~256 MB of float32.
+_CHUNK_BUDGET_ELEMS = 64 * 1024 * 1024
+
+
+def _col_chunk(B1: int, d: int) -> int:
+    rows = B1 * (B1 + d)
+    return max(65536, (_CHUNK_BUDGET_ELEMS // rows) // 8192 * 8192)
+
 
 def moe_correct_ridge(Z_orig, Phi, R, E, params: HarmonyParams,
                       cfg: EngineConfig, mask, axis_name):
@@ -40,18 +48,25 @@ def moe_correct_ridge(Z_orig, Phi, R, E, params: HarmonyParams,
     intercept row.
     """
     K, B1, d = cfg.K, cfg.B1, cfg.d
+    Nl = Z_orig.shape[1]
     A = jnp.concatenate([mask[None, :], Phi], axis=0)          # (B1, Nl) Phi_moe
 
-    # Normal equations for ALL K systems in ONE GEMM against R:
+    # Normal equations for ALL K systems as stacked-feature GEMMs against R:
     #   cov[k,b,c] = sum_n A[b,n] A[c,n] R[k,n]
     #   rhs[k,b,:] = sum_n A[b,n] Z[:,n] R[k,n]
-    # Stack the B1*(B1+d) "feature products" as rows of G and hit R^T once —
-    # R (the K x N giant) is read exactly once, vs once per b in the naive
-    # per-column formulation.
-    A2 = (A[:, None, :] * A[None, :, :]).reshape(B1 * B1, -1)   # (B1^2, Nl)
-    ZA = (A[:, None, :] * Z_orig[None, :, :]).reshape(B1 * d, -1)
-    G = jnp.concatenate([A2, ZA], axis=0)                       # (B1(B1+d), Nl)
-    S = lax.psum(G @ R.T, axis_name)                            # (B1(B1+d), K)
+    # The B1*(B1+d) "feature products" hit R^T in one GEMM per cell chunk —
+    # R (the K x N giant) is read exactly once overall, and the stacked
+    # feature matrix is materialized only one chunk at a time (it would be
+    # B1*(B1+d) x N — gigabytes at millions of cells).
+    CC = _col_chunk(B1, d)
+    S = jnp.zeros((B1 * (B1 + d), K), jnp.float32)
+    for lo in range(0, Nl, CC):
+        hi = min(lo + CC, Nl)
+        Ac, Zc, Rc = A[:, lo:hi], Z_orig[:, lo:hi], R[:, lo:hi]
+        A2 = (Ac[:, None, :] * Ac[None, :, :]).reshape(B1 * B1, hi - lo)
+        ZA = (Ac[:, None, :] * Zc[None, :, :]).reshape(B1 * d, hi - lo)
+        S = S + jnp.concatenate([A2, ZA], axis=0) @ Rc.T
+    S = lax.psum(S, axis_name)                                  # (B1(B1+d), K)
     cov = jnp.transpose(S[: B1 * B1].reshape(B1, B1, K), (2, 0, 1))
     rhs = jnp.transpose(S[B1 * B1:].reshape(B1, d, K), (2, 0, 1))
 
@@ -71,7 +86,13 @@ def moe_correct_ridge(Z_orig, Phi, R, E, params: HarmonyParams,
     W = W.at[:, 0, :].set(0.0)                                  # keep intercept
 
     # correction[d, n] = sum_k sum_b W[k,b,d] A[b,n] R[k,n]: one shard-local
-    # GEMM T = R^T W (again reading R once), then a masked contraction over b.
-    T = (R.T @ W.reshape(K, B1 * d)).reshape(-1, B1, d)         # (Nl, B1, d)
-    corr = jnp.einsum("bn,nbd->dn", A, T)
-    return Z_orig - corr
+    # GEMM T = R^T W per cell chunk (again reading R once overall), then a
+    # contraction over b; the (Nl, B1, d) intermediate never fully exists.
+    Wf = W.reshape(K, B1 * d)
+    pieces = []
+    for lo in range(0, Nl, CC):
+        hi = min(lo + CC, Nl)
+        T = (R[:, lo:hi].T @ Wf).reshape(hi - lo, B1, d)
+        pieces.append(Z_orig[:, lo:hi]
+                      - jnp.einsum("bn,nbd->dn", A[:, lo:hi], T))
+    return jnp.concatenate(pieces, axis=1)
