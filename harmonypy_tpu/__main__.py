@@ -71,7 +71,11 @@ def main(argv=None):
     import pandas as pd
 
     if args.cmd == "bench":
-        from benchmarks.run_benchmarks import main as bench_main  # repo ckout
+        try:
+            from benchmarks.run_benchmarks import main as bench_main
+        except ImportError:
+            sys.exit("the bench subcommand needs a repository checkout "
+                     "(benchmarks/ is not part of the installed package)")
         bench_main(args.tiers or ["small", "medium", "lisi", "large"])
         return
 
