@@ -185,6 +185,9 @@ def bench_lisi(results):
 
 
 def main(tiers):
+    unknown = [t for t in tiers if t not in BASELINES]
+    if unknown:
+        sys.exit(f"unknown tier(s) {unknown}; valid: {sorted(BASELINES)}")
     results = {}
     t_all = time.time()
     for tier in tiers:

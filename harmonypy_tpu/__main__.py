@@ -2,9 +2,10 @@
 
 The reference is library-only (its closest analog is the benchmark __main__
 path of tests/test_harmony.py:152-200). For production TPU use a file-in /
-file-out entry point matters: each pod host launches the same command, the
-loader reads only that host's cell range (io/loader.py), and results are
-written once from process 0.
+file-out entry point matters: each pod host launches the same command (every
+host parses the input once; io/loader.load_sharded_data is the lower-level
+API when you want per-host shard assembly), and results are written once
+from process 0.
 
 Usage:
   python -m harmonypy_tpu correct --pcs pcs.tsv.gz --meta meta.tsv.gz \

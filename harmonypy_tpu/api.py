@@ -308,6 +308,12 @@ class Harmony:
     def _cells(self, arr) -> np.ndarray:
         """Strip per-shard cell padding and transpose to cells-first."""
         from .parallel.sharding import unpad_cells
+        if getattr(arr, "is_fully_addressable", True) is False:
+            # Multi-host run: assemble the global array across processes
+            # before converting (np.asarray on a cross-process jax.Array
+            # raises "spans non-addressable devices").
+            from jax.experimental import multihost_utils
+            arr = multihost_utils.process_allgather(arr, tiled=True)
         return unpad_cells(np.asarray(arr), self.cfg).T
 
     @property

@@ -292,7 +292,9 @@ class HarmonyEngine:
 
         carry = C(
             R=state.R,
-            Ysum=lax.psum(state.Z_cos @ state.R.T, AXIS),
+            # Shard-local partial sum — the loop body psums it, same as the
+            # kernel-produced Ysum of every subsequent round.
+            Ysum=state.Z_cos @ state.R.T,
             Y=state.Y,
             cache=chunk_stats(state.R, Phi, cfg),
             O=state.O, E=state.E, key=state.key,

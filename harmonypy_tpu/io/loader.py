@@ -21,6 +21,7 @@ Three tiers:
 from __future__ import annotations
 
 import ctypes
+import gzip
 import os
 import subprocess
 import threading
@@ -77,13 +78,11 @@ def native_available() -> bool:
 
 
 def load_matrix_tsv(path: str, rows: tuple[int, int] | None = None,
-                    n_threads: int = 0) -> np.ndarray:
-    """Parse a (gzip-)TSV float matrix to float32, rows [start, end) if given.
-
-    Uses the native parser when available; falls back to pandas (which always
-    parses the whole file — the native path is both faster and, for sharded
-    reads, the only one that avoids the full materialization)."""
-    lib = _load_native()
+                    n_threads: int = 0, sep: str = "\t") -> np.ndarray:
+    """Parse a (gzip-)delimited float matrix to float32, rows [start, end) if
+    given. The native parser handles tab-separated files; other separators
+    (and exotic layouts) go through pandas."""
+    lib = _load_native() if sep == "\t" else None
     if lib is not None:
         err = ctypes.create_string_buffer(256)
         h = lib.fasttsv_load(path.encode(), n_threads, err, len(err))
@@ -104,7 +103,18 @@ def load_matrix_tsv(path: str, rows: tuple[int, int] | None = None,
         # fall through to pandas on parse failure (e.g. exotic layout)
 
     import pandas as pd
-    df = pd.read_csv(path, sep="\t")
+    # Header detection (pd.read_csv defaults to header=0, which would
+    # silently eat the first data row of a headerless file): a header is a
+    # first line whose first field does not parse as a float.
+    opener = gzip.open if path.endswith(".gz") else open
+    with opener(path, "rt") as f:
+        first = f.readline()
+    try:
+        float(first.split(sep, 1)[0])
+        header = None
+    except ValueError:
+        header = 0
+    df = pd.read_csv(path, sep=sep, header=header)
     # Drop a leading row-name (string) column if present.
     if df.shape[1] and df.dtypes.iloc[0] == object:
         df = df.iloc[:, 1:]
@@ -134,15 +144,19 @@ def load_matrix(path: str, rows: tuple[int, int] | None = None) -> np.ndarray:
         if rows is not None:
             arr = arr[rows[0]: rows[1]]
         return np.ascontiguousarray(arr)
-    if ext in (".tsv", ".csv", ".txt", ""):
+    if ext in (".tsv", ".txt", ""):
         return load_matrix_tsv(path, rows=rows)
+    if ext == ".csv":
+        return load_matrix_tsv(path, rows=rows, sep=",")
     raise ValueError(f"unsupported matrix format: {path}")
 
 
 def load_sharded_data(pcs_path: str, meta_data, vars_use, mesh,
                       cfg=None):
-    """Per-host streaming ingest: build a cells-sharded HarmonyData where each
-    process reads only its own cell range of the embedding file.
+    """Per-host sharded ingest: build a cells-sharded HarmonyData. Each
+    process parses the embedding file ONCE and uploads only its own devices'
+    cell ranges — on a multi-host pod no host ships other hosts' cells over
+    the wire, and device HBM holds only the local shard.
 
     meta_data: pandas DataFrame (small — replicated per host, as in any
     pd.get_dummies design-matrix build). Returns (data, cfg, N, Phi_info)
@@ -164,8 +178,10 @@ def load_sharded_data(pcs_path: str, meta_data, vars_use, mesh,
     phi_n = cats.nunique().to_numpy().astype(int)
     B = phi.shape[0]
 
-    # Geometry first (needs d): peek one row.
-    d = load_matrix(pcs_path, rows=(0, 1)).shape[1]
+    # One parse per host (the TSV formats are not row-seekable anyway), then
+    # slice per-device ranges out of the host copy.
+    X_host = load_matrix(pcs_path)
+    d = X_host.shape[1]
     if cfg is None:
         K = int(min(round(N / 30.0), 100))
         cfg = EngineConfig(N=N, d=d, K=K, B=B,
@@ -190,8 +206,7 @@ def load_sharded_data(pcs_path: str, meta_data, vars_use, mesh,
             continue
         i = local_idx[dev.id]
         lo, hi = per_device_range(i)
-        rows = load_matrix(pcs_path, rows=(lo, hi)) if hi > lo else \
-            np.zeros((0, d), np.float32)
+        rows = X_host[lo:hi] if hi > lo else np.zeros((0, d), np.float32)
         zi = np.zeros((d, per_dev), np.float32)
         zi[:, : rows.shape[0]] = rows.T
         pi = np.zeros((B, per_dev), np.float32)

@@ -170,7 +170,8 @@ bool parse_line(const char* p, const char* end, bool has_rownames,
       ++p;
     }
   }
-  return true;
+  // Ragged rows with EXTRA fields must fail too, not silently truncate.
+  return p == end || *p == '\n';
 }
 
 int64_t count_fields(const char* p, const char* end) {

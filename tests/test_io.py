@@ -97,3 +97,48 @@ def test_sharded_loader_matches_full(tsv_file):
     np.testing.assert_array_equal(np.asarray(data.mask), np.asarray(ref.mask))
     # shards actually live on distinct devices
     assert len({s.device for s in data.Z_orig.addressable_shards}) == 8
+
+
+def test_csv_dispatch(tmp_path):
+    """.csv routes through a comma parser (regression: was parsed as TSV)."""
+    X = np.array([[1.0, 2.0], [3.5, -4.0]], np.float32)
+    path = tmp_path / "m.csv"
+    with open(path, "w") as f:
+        f.write("a,b\n1.0,2.0\n3.5,-4.0\n")
+    np.testing.assert_allclose(load_matrix(str(path)), X)
+
+
+def test_headerless_tsv_keeps_first_row(tmp_path):
+    """Headerless files keep row 1 on both the native and pandas paths
+    (regression: pd.read_csv default consumed it as a header)."""
+    from harmonypy_tpu.io import loader
+    X = np.array([[1.5, 2.5], [3.0, 4.0], [5.0, 6.0]], np.float32)
+    path = tmp_path / "nohdr.tsv"
+    with open(path, "w") as f:
+        for r in X:
+            f.write(f"{r[0]}\t{r[1]}\n")
+    np.testing.assert_allclose(load_matrix_tsv(str(path)), X)
+    # Force the pandas fallback regardless of native availability.
+    lib, tried = loader._lib, loader._lib_tried
+    loader._lib, loader._lib_tried = None, True
+    try:
+        np.testing.assert_allclose(load_matrix_tsv(str(path)), X)
+    finally:
+        loader._lib, loader._lib_tried = lib, tried
+
+
+def test_ragged_row_rejected_by_native(tmp_path):
+    """Rows with extra fields must not silently truncate: the native parser
+    rejects them (and the pandas fallback raises on the NaN column)."""
+    if not native_available():
+        pytest.skip("native parser not built")
+    import ctypes
+    from harmonypy_tpu.io import loader
+    path = tmp_path / "ragged.tsv"
+    with open(path, "w") as f:
+        f.write("a\tb\n1.0\t2.0\n3.0\t4.0\t5.0\n")
+    lib = loader._load_native()
+    err = ctypes.create_string_buffer(256)
+    h = lib.fasttsv_load(str(path).encode(), 0, err, len(err))
+    assert not h, "ragged row should fail native parse"
+    assert b"row" in err.value
