@@ -126,8 +126,13 @@ def kmeans_init(key, Z_cos, mask, cfg: EngineConfig, axis_name):
     Returns centroids (d, K), replicated (NOT yet L2-normalized — the caller
     normalizes, mirroring reference harmony.py:377).
 
-    Seeding runs on a uniform subsample of at most cfg.kmeanspp_sample cells
-    (each shard contributes an equal share); Lloyd refines on all cells.
+    Above cfg.kmeanspp_sample cells, BOTH the k-means++ seeding and the Lloyd
+    refinement run on a uniform subsample (each shard contributes an equal
+    share): the K sequential seeding steps are latency-bound and Lloyd's
+    per-iteration cost is a K x N pass, while the consumer of these centroids
+    — Harmony's own fuzzy k-means loop — immediately refines Y on ALL cells
+    for up to max_iter_kmeans rounds (engine._cluster_*), so init centroid
+    noise of order 1/sqrt(sample) washes out in the first round.
     """
     Nl = Z_cos.shape[1]
     Sl = -(-cfg.kmeanspp_sample // cfg.n_devices)  # per-shard share
@@ -140,4 +145,4 @@ def kmeans_init(key, Z_cos, mask, cfg: EngineConfig, axis_name):
     else:
         X_seed, m_seed = Z_cos, mask
     centers = _kmeanspp_seed(key, X_seed, m_seed, cfg, axis_name)
-    return _lloyd(centers, Z_cos, mask, cfg, axis_name)
+    return _lloyd(centers, X_seed, m_seed, cfg, axis_name)
