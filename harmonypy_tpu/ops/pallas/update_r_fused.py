@@ -53,6 +53,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -77,7 +78,13 @@ def pallas_geometry(cfg: EngineConfig) -> PallasGeometry:
     nb = cfg.n_blocks
     cpb = int(n_chunks * cfg.block_size)
     last = n_chunks - (nb - 1) * cpb
-    return PallasGeometry(n_chunks, cpb, last, max(cpb, last), nb, CH)
+    # J includes one ALWAYS-dummy trailing slot per block, so every block's
+    # grid writes the dummy chunk (with zeros). This guarantees the dummy
+    # chunk of the write-only R output and its cache row are initialized by
+    # the kernel itself; the alternative — pinning them afterwards with a
+    # dynamic_update_slice — lowers to a full copy of R (measured 1.7 ms per
+    # k-means round at 858k cells).
+    return PallasGeometry(n_chunks, cpb, last, max(cpb, last) + 1, nb, CH)
 
 
 def build_slots(key, geom: PallasGeometry) -> jnp.ndarray:
@@ -105,7 +112,8 @@ def chunk_stats(R, Phi, cfg: EngineConfig) -> jnp.ndarray:
     Computed as B+1 masked row-sums in R's native (K, N) layout — an
     "nkb"-output einsum would physically transpose the 100s-of-MB R array
     (measured 4.6 ms per call at 858k cells); the transposes here touch only
-    the tiny (K, n_chunks) outputs."""
+    the tiny (K, n_chunks) outputs. (A reduce_window formulation was tried
+    and rejected: its TPU lowering materializes a 45 GB padded copy.)"""
     CH = cfg.chunk_size
     nc1 = R.shape[1] // CH
     R3 = R.reshape(cfg.K, nc1, CH)
@@ -270,11 +278,7 @@ def fused_update_r(slots, removal, Z_cos, Phi, Y, sigma, theta, Pr_b, O, E,
       sigma.reshape(K, 1), theta.reshape(1, B), Pr_b.reshape(1, B), O, E,
       removal)
 
-    # R is a pure output now; when the block sizes divide evenly no grid step
-    # targets the dummy chunk, leaving it uninitialized — pin it (and its
-    # cache row) to zero so downstream reductions stay exact.
-    R2 = jax.lax.dynamic_update_slice(
-        R2, jnp.zeros((K, CH), jnp.float32), (0, geom.n_chunks * CH))
-    cache = cache.at[geom.n_chunks].set(0.0)
-
+    # The dummy chunk of R and its cache row are written (with zeros) by
+    # every block's trailing always-dummy grid step (pallas_geometry), so the
+    # write-only outputs are fully initialized by the kernel itself.
     return R2, O2, E2, Ysum, cache, obj[0, 0], obj[0, 1]
