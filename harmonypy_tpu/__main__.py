@@ -56,6 +56,11 @@ def _add_lisi(sub):
     p.add_argument("--labels", required=True,
                    help="comma-separated label column names")
     p.add_argument("--perplexity", type=float, default=30)
+    p.add_argument("--sample", type=int, default=None,
+                   help="evaluate LISI at this many sampled query cells "
+                        "(exact values; neighbors come from all cells) — "
+                        "use for atlas-scale inputs where all-pairs kNN is "
+                        "quadratic")
     p.add_argument("--out", default=None, help="output TSV (default: stdout)")
 
 
@@ -87,8 +92,14 @@ def main(argv=None):
         meta = pd.read_csv(args.meta, sep="\t")
         labels = args.labels.split(",")
         t0 = time.time()
-        lisi = compute_lisi(X, meta, labels, perplexity=args.perplexity)
-        df = pd.DataFrame(lisi, columns=labels)
+        out = compute_lisi(X, meta, labels, perplexity=args.perplexity,
+                           sample=args.sample)
+        if isinstance(out, tuple):
+            lisi, qidx = out
+            df = pd.DataFrame(lisi, columns=labels)
+            df.insert(0, "cell_index", qidx)
+        else:
+            df = pd.DataFrame(out, columns=labels)
         if args.out:
             df.to_csv(args.out, sep="\t", index=False)
             print(f"wrote {args.out} ({time.time() - t0:.2f}s)")

@@ -25,30 +25,32 @@ from jax import lax
 from typing import Iterable
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2))
-def _knn(X: jnp.ndarray, n_neighbors: int, chunk: int = 1024):
-    """Exact brute-force kNN. X: (N, d). Returns (distances, indices), each
-    (N, n_neighbors), self-neighbor dropped (reference lisi.py:53-57)."""
-    N, d = X.shape
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def _knn(Q: jnp.ndarray, X: jnp.ndarray, n_neighbors: int, chunk: int = 1024):
+    """Exact brute-force kNN of queries Q (M, d) against reference set X
+    (N, d). Returns (distances, indices), each (M, n_neighbors), the
+    self-neighbor dropped (reference lisi.py:53-57). Q must be a subset of X
+    rows (each query's nearest hit is itself)."""
+    M, d = Q.shape
     k = n_neighbors + 1  # top-k includes the point itself
     sq = jnp.sum(X * X, axis=1)
 
-    n_chunks = -(-N // chunk)
-    N_pad = n_chunks * chunk
-    Xp = jnp.zeros((N_pad, d), X.dtype).at[:N].set(X)
+    n_chunks = -(-M // chunk)
+    M_pad = n_chunks * chunk
+    Qp = jnp.zeros((M_pad, d), Q.dtype).at[:M].set(Q)
 
     def one_chunk(start):
-        Q = lax.dynamic_slice(Xp, (start, jnp.zeros((), start.dtype)),
-                              (chunk, d))
-        qsq = jnp.sum(Q * Q, axis=1)
-        d2 = qsq[:, None] + sq[None, :] - 2.0 * (Q @ X.T)  # (chunk, N)
+        Qc = lax.dynamic_slice(Qp, (start, jnp.zeros((), start.dtype)),
+                               (chunk, d))
+        qsq = jnp.sum(Qc * Qc, axis=1)
+        d2 = qsq[:, None] + sq[None, :] - 2.0 * (Qc @ X.T)  # (chunk, N)
         neg, idx = lax.top_k(-d2, k)
         return jnp.sqrt(jnp.maximum(-neg, 0.0)), idx
 
     starts = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
     dists, idxs = lax.map(one_chunk, starts)
-    dists = dists.reshape(N_pad, k)[:N]
-    idxs = idxs.reshape(N_pad, k)[:N]
+    dists = dists.reshape(M_pad, k)[:M]
+    idxs = idxs.reshape(M_pad, k)[:M]
     return dists[:, 1:], idxs[:, 1:]  # drop self
 
 
@@ -120,30 +122,49 @@ def compute_lisi(
     metadata: pd.DataFrame,
     label_colnames: Iterable[str],
     perplexity: float = 30,
+    sample: int | None = None,
+    random_state: int = 0,
 ):
     """Compute LISI for each label column (reference lisi.py:24-65).
 
     LISI ~= the effective number of distinct categories among each cell's
     neighbors: 1 = unmixed, n_categories = fully mixed.
+
+    sample: evaluate LISI only at `sample` uniformly-drawn query cells
+    (neighbors still come from ALL cells, so each per-cell value is exact).
+    The exact kNN is a dense (queries x N) distance computation — quadratic
+    in N when querying every cell, which is the practical limit the
+    reference's kd-tree also hits in high dimensions. Returns (sample, L)
+    values along with the sampled row indices as a second array.
     """
     X = np.asarray(X.values if hasattr(X, "values") else X)
     dtype = np.float64 if jax.config.jax_enable_x64 else np.float32
     n_cells = metadata.shape[0]
     label_colnames = list(label_colnames)
 
+    if sample is not None and sample < n_cells:
+        rng = np.random.default_rng(random_state)
+        query_idx = np.sort(rng.choice(n_cells, size=sample, replace=False))
+    else:
+        query_idx = None
+
     # Everything stays on device between the kNN and the final LISI values:
     # the only host->device traffic is X and the (N,) label codes per column.
-    dist, idx = _knn(jnp.asarray(X, dtype), int(perplexity * 3) - 1)
+    Xd = jnp.asarray(X, dtype)
+    Qd = Xd[query_idx] if query_idx is not None else Xd
+    dist, idx = _knn(Qd, Xd, int(perplexity * 3) - 1)
     logU = jnp.asarray(np.log(perplexity), dist.dtype)
     tol = jnp.asarray(1e-5, dist.dtype)
 
-    lisi_df = np.zeros((n_cells, len(label_colnames)))
+    lisi_df = np.zeros((dist.shape[0], len(label_colnames)))
     for i, label in enumerate(label_colnames):
         labels = pd.Categorical(metadata[label])
         codes = jnp.asarray(np.asarray(labels.codes, np.int32))
         simpson = _simpson_label(dist, idx, codes,
                                  len(labels.categories), logU, tol)
         lisi_df[:, i] = 1 / np.asarray(simpson)
+    if query_idx is not None:
+        return lisi_df, query_idx
     return lisi_df
 
 

@@ -42,3 +42,19 @@ def test_lisi_separated_batches():
     rng.shuffle(X_mix)
     lisi_mix = hm.compute_lisi(X_mix, meta, ["b"])
     assert lisi_mix.mean() > 1.8
+
+
+def test_lisi_sampled_matches_full():
+    """Sampled-query LISI values equal the corresponding rows of the full
+    computation (neighbors always come from all cells)."""
+    rng = np.random.default_rng(2)
+    X = rng.normal(size=(500, 5))
+    meta = pd.DataFrame({"b": rng.choice(["x", "y"], size=500)})
+    full = hm.compute_lisi(X, meta, ["b"], perplexity=15)
+    sampled, idx = hm.compute_lisi(X, meta, ["b"], perplexity=15,
+                                   sample=120, random_state=7)
+    assert sampled.shape == (120, 1) and idx.shape == (120,)
+    np.testing.assert_allclose(sampled, full[idx], rtol=1e-6, atol=1e-8)
+    # sample >= N degrades to the full computation (plain array return)
+    out = hm.compute_lisi(X, meta, ["b"], perplexity=15, sample=500)
+    np.testing.assert_allclose(out, full)
