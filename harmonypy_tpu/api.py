@@ -46,6 +46,7 @@ def run_harmony(
     resume_from=None,
     use_pallas=None,
     chunk_size=2048,
+    matmul_precision="default",
 ):
     """Run Harmony batch-effect correction on TPU (or any JAX backend).
 
@@ -61,6 +62,9 @@ def run_harmony(
       resume_from     path of a checkpoint written by checkpoint_dir; the fit
                       continues from that iteration (bitwise-identical to an
                       uninterrupted run: the RNG key lives in the state).
+      matmul_precision  "default" (single-pass bf16-input MXU matmuls, fp32
+                      accumulation — golden r 0.998 vs the R output) or
+                      "float32" (strict multi-pass fp32, ~3x the matmul cost).
     """
     N = meta_data.shape[0]
     data_mat = np.asarray(data_mat.values if hasattr(data_mat, "values") else data_mat)
@@ -157,6 +161,7 @@ def run_harmony(
         epsilon_cluster, epsilon_harmony, nclust, block_size, verbose,
         random_state, device, mesh=mesh, checkpoint_dir=checkpoint_dir,
         resume_from=resume_from, use_pallas=use_pallas, chunk_size=chunk_size,
+        matmul_precision=matmul_precision,
     )
 
 
@@ -169,7 +174,8 @@ class Harmony:
                  lambda_estimation, max_iter_harmony, max_iter_kmeans,
                  epsilon_kmeans, epsilon_harmony, K, block_size, verbose,
                  random_state, device=None, *, mesh=None, checkpoint_dir=None,
-                 resume_from=None, use_pallas=None, chunk_size=2048):
+                 resume_from=None, use_pallas=None, chunk_size=2048,
+                 matmul_precision="default"):
         Z = np.asarray(Z, dtype=np.float32)
         Phi = np.asarray(Phi, dtype=np.float32)
         if mesh is None:
@@ -215,6 +221,7 @@ class Harmony:
             block_size=float(block_size),
             alpha=float(alpha),
             lambda_estimation=bool(lambda_estimation),
+            matmul_precision=str(matmul_precision),
         )
         self.cfg = cfg
         engine = get_engine(cfg, mesh)
