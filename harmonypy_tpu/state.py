@@ -75,6 +75,12 @@ class HarmonyState(NamedTuple):
 
     converged: jax.Array      # () bool — harmony-level convergence flag
 
+    # Fused E-step per-chunk statistics cache (sharded on the cells axis):
+    # (n_chunks+1, K, B+1) per shard, kept current by the kernel so the next
+    # iteration never recomputes it from R (a (K, N)-retiling pass).
+    # Placeholder (1, 1, 1) zeros per shard on the non-fused path.
+    cache: jax.Array
+
 
 def empty_histories(cfg: EngineConfig) -> dict:
     f32 = jnp.float32
