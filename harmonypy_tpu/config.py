@@ -61,6 +61,13 @@ class EngineConfig:
     # N; Lloyd then refines on ALL cells, so seeding quality is preserved).
     # Problems with N <= the cap see the exact full-data behavior.
     kmeanspp_sample: int = 131072
+    # Above the subsample threshold, seeding uses k-means|| (Bahmani et al.,
+    # VLDB 2012): `kmeansbb_rounds` rounds of D^2-oversampling, drawing
+    # `kmeansbb_oversample x K` candidates per round, then weighted greedy
+    # k-means++ over the candidate set. Replaces K sequential dependent
+    # steps with a handful of wide data passes.
+    kmeansbb_rounds: int = 5
+    kmeansbb_oversample: int = 2
 
     # MXU matmul precision. "default" runs single-pass bf16-input matmuls
     # with fp32 accumulation — measured min per-PC Pearson r vs the R golden

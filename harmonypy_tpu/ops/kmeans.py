@@ -83,6 +83,118 @@ def _kmeanspp_seed(key, X, mask, cfg: EngineConfig, axis_name):
     return centers
 
 
+def _kmeansbb_seed(key, X, mask, cfg: EngineConfig, axis_name):
+    """k-means|| seeding (Bahmani et al., VLDB 2012), TPU-first.
+
+    Replaces the K sequential D^2-sampling steps of k-means++ (each a
+    latency-bound dependent step) with `kmeansbb_rounds` rounds that each
+    draw M = oversample*K candidates at once — Gumbel top-M gives an
+    M-sample-without-replacement proportional to the current D^2 potential,
+    and the cross-shard merge is one all_gather of (M,) scores + (d, M)
+    columns per round. The ~rounds*M candidates are then weighted by their
+    nearest-neighbor counts and reduced to K centers with a greedy weighted
+    k-means++ on the (tiny, replicated) candidate set.
+
+    X: (d, S_local) sharded subsample; returns (d, K) replicated.
+    """
+    d, Sl = X.shape
+    K = cfg.K
+    M = cfg.kmeansbb_oversample * K
+    R = cfg.kmeansbb_rounds
+    xsq = _sq_norms(X)
+    shard = lax.axis_index(axis_name)
+    logm = jnp.where(mask > 0.0, 0.0, -jnp.inf)
+
+    def gumbel(k, shape):
+        return jax.random.gumbel(jax.random.fold_in(k, shard), shape,
+                                 jnp.float32)
+
+    def cand_d2(C, X):
+        d2 = (_sq_norms(C)[:, None] + xsq[None, :] - 2.0 * (C.T @ X))
+        return jnp.maximum(d2, 0.0)
+
+    # First candidate: uniform over valid cells.
+    key, k0 = jax.random.split(key)
+    c0 = _global_sample_columns(X, (logm + gumbel(k0, (Sl,)))[None, :],
+                                axis_name)                      # (d, 1)
+    n_cand = 1 + R * M
+    C = jnp.zeros((d, n_cand), jnp.float32).at[:, 0].set(c0[:, 0])
+    d2 = cand_d2(c0, X)[0] * mask
+
+    for r in range(R):
+        key, kr = jax.random.split(key)
+        # Gumbel top-M: M draws w/o replacement with P(i) proportional to d2.
+        logd2 = jnp.where(d2 > 0.0,
+                          jnp.log(jnp.where(d2 > 0.0, d2, 1.0)), -jnp.inf)
+        scores = logd2 + logm + gumbel(kr, (Sl,))
+        loc_val, loc_idx = lax.top_k(scores, M)
+        loc_cols = X[:, loc_idx]                                # (d, M)
+        vals = lax.all_gather(loc_val, axis_name)               # (ndev, M)
+        cols = lax.all_gather(loc_cols, axis_name)              # (ndev, d, M)
+        flat_v = vals.reshape(-1)
+        flat_c = jnp.moveaxis(cols, 1, 0).reshape(d, -1)        # (d, ndev*M)
+        _, sel = lax.top_k(flat_v, M)
+        new_c = flat_c[:, sel]                                  # (d, M) repl
+        C = lax.dynamic_update_slice(C, new_c, (0, 1 + r * M))
+        d2 = jnp.minimum(d2, jnp.min(cand_d2(new_c, X), axis=0)) * mask
+
+    # Candidate weights: nearest-candidate counts over the (masked) sample.
+    BLK = 128
+    n_pad = -(-n_cand // BLK) * BLK
+    Cp = jnp.full((d, n_pad), jnp.inf, jnp.float32).at[:, :n_cand].set(C)
+    best = jnp.full((Sl,), jnp.inf, jnp.float32)
+    bidx = jnp.zeros((Sl,), jnp.int32)
+    for blk in range(0, n_pad, BLK):
+        Cb = lax.dynamic_slice(Cp, (0, blk), (d, BLK))
+        Db = jnp.where(jnp.isfinite(_sq_norms(Cb))[:, None],
+                       _sq_norms(Cb)[:, None] - 2.0 * (Cb.T @ X), jnp.inf)
+        v = jnp.min(Db, axis=0)
+        i = jnp.argmin(Db, axis=0).astype(jnp.int32) + blk
+        upd = v < best
+        best = jnp.where(upd, v, best)
+        bidx = jnp.where(upd, i, bidx)
+    w = lax.psum(jnp.zeros((n_cand,), jnp.float32)
+                 .at[jnp.minimum(bidx, n_cand - 1)].add(mask), axis_name)
+
+    # Weighted greedy k-means++ over the replicated candidate set (tiny).
+    key = jax.random.fold_in(key, 0)  # same stream on every shard
+    csq = _sq_norms(C)
+    T = cfg.kmeanspp_trials
+
+    def wgumbel(k, shape):
+        return jax.random.gumbel(k, shape, jnp.float32)
+
+    key, kf = jax.random.split(key)
+    logw = jnp.where(w > 0.0, jnp.log(jnp.where(w > 0.0, w, 1.0)), -jnp.inf)
+    first = jnp.argmax(logw + wgumbel(kf, (n_cand,)))
+    centers0 = jnp.zeros((d, K), jnp.float32).at[:, 0].set(C[:, first])
+    cd2_0 = jnp.maximum(csq + csq[first] - 2.0 * (C[:, first] @ C), 0.0)
+
+    def step(t, carry):
+        centers, cd2, key = carry
+        key, k1 = jax.random.split(key)
+        pot = cd2 * w
+        logp = jnp.where(pot > 0.0,
+                         jnp.log(jnp.where(pot > 0.0, pot, 1.0)), -jnp.inf)
+        sc = logp[None, :] + wgumbel(k1, (T, n_cand))
+        picks = jnp.argmax(sc, axis=1)                          # (T,)
+        Ct = C[:, picks]                                        # (d, T)
+        nd2 = jnp.minimum(
+            cd2[None, :],
+            jnp.maximum(csq[None, :] + _sq_norms(Ct)[:, None]
+                        - 2.0 * (Ct.T @ C), 0.0))               # (T, n_cand)
+        pots = jnp.sum(nd2 * w[None, :], axis=1)
+        bestt = jnp.argmin(pots)
+        centers = centers.at[:, t].set(Ct[:, bestt])
+        return centers, nd2[bestt], key
+
+    centers, _, _ = lax.fori_loop(1, K, step, (centers0, cd2_0, key))
+    # Values are already identical on every shard, but the varying-manual-axes
+    # checker cannot prove invariance through all_gather-derived candidates;
+    # a pmean over (29, K) floats re-establishes it explicitly.
+    return lax.pmean(centers, axis_name)
+
+
 def _lloyd(centers, X, mask, cfg: EngineConfig, axis_name):
     """Lloyd iterations with sklearn-style tolerance; returns (d, K)."""
     K = cfg.K
@@ -142,7 +254,10 @@ def kmeans_init(key, Z_cos, mask, cfg: EngineConfig, axis_name):
         sub = jax.random.permutation(
             jax.random.fold_in(k_sub, shard), Nl)[:Sl]
         X_seed, m_seed = Z_cos[:, sub], mask[sub]
+        # Large problems: k-means|| seeding (a few wide passes) instead of
+        # K sequential latency-bound D^2 draws.
+        centers = _kmeansbb_seed(key, X_seed, m_seed, cfg, axis_name)
     else:
         X_seed, m_seed = Z_cos, mask
-    centers = _kmeanspp_seed(key, X_seed, m_seed, cfg, axis_name)
+        centers = _kmeanspp_seed(key, X_seed, m_seed, cfg, axis_name)
     return _lloyd(centers, X_seed, m_seed, cfg, axis_name)

@@ -198,3 +198,42 @@ def test_kmeans_init_quality():
                 random_state=0).fit(Xn)
     theirs = sk.inertia_
     assert ours <= theirs * 1.15, (ours, theirs)
+
+
+def test_kmeansbb_seeding_quality():
+    """k-means|| seeding (large-N path) reaches the same correction quality
+    as sequential greedy k-means++ on the same problem."""
+    import dataclasses
+    import pandas as pd
+    import harmonypy_tpu as hm
+    import harmonypy_tpu.api as api
+    from harmonypy_tpu.parallel.mesh import make_mesh
+    from harmonypy_tpu.config import EngineConfig
+
+    rng = np.random.default_rng(0)
+    N, d, B = 6000, 10, 3
+    centers = rng.normal(size=(6, d)) * 4
+    g = rng.integers(0, 6, N)
+    b = rng.integers(0, B, N)
+    shifts = rng.normal(size=(B, d)) * 2
+    X = (centers[g] + shifts[b] + rng.normal(size=(N, d))).astype(np.float32)
+    meta = pd.DataFrame({"batch": [f"b{i}" for i in b]})
+    mesh = make_mesh(n_devices=4)
+
+    def run(sample_cap):
+        orig = api.EngineConfig
+        api.EngineConfig = lambda **kw: orig(**kw, kmeanspp_sample=sample_cap)
+        try:
+            return hm.run_harmony(X, meta, ["batch"], mesh=mesh,
+                                  verbose=False, nclust=20)
+        finally:
+            api.EngineConfig = orig
+
+    ho_seq = run(10**9)     # sequential k-means++ on all cells
+    ho_bb = run(2048)       # k-means|| on a 2048-cell subsample
+    l_seq = hm.compute_lisi(ho_seq.Z_corr, meta, ["batch"]).mean()
+    l_bb = hm.compute_lisi(ho_bb.Z_corr, meta, ["batch"]).mean()
+    assert abs(l_seq - l_bb) < 0.15, (l_seq, l_bb)
+    assert ho_bb.objective_harmony[-1] < ho_bb.objective_harmony[0]
+    corr = np.corrcoef(ho_seq.Z_corr.ravel(), ho_bb.Z_corr.ravel())[0, 1]
+    assert corr > 0.98, corr
