@@ -242,12 +242,22 @@ class Harmony:
         if resume_from is not None:
             from .utils.checkpoint import load_state
             state = load_state(resume_from)
-            state = jax.device_put(
-                state, jax.tree.map(
-                    lambda spec: jax.sharding.NamedSharding(mesh, spec),
-                    engine.state_specs,
-                    is_leaf=lambda x: isinstance(
-                        x, jax.sharding.PartitionSpec)))
+            shardings = jax.tree.map(
+                lambda spec: jax.sharding.NamedSharding(mesh, spec),
+                engine.state_specs,
+                is_leaf=lambda x: isinstance(x, jax.sharding.PartitionSpec))
+            if state.cache is None:
+                # Pre-cache-field checkpoint: upload everything else, then
+                # rebuild the chunk-stats cache from the sharded R and Phi.
+                fields = state._asdict()
+                fields.pop("cache")
+                fields = {k: jax.device_put(v, getattr(shardings, k))
+                          for k, v in fields.items()}
+                state = HarmonyState(
+                    **fields,
+                    cache=engine.cache_fn(fields["R"], self._data.Phi))
+            else:
+                state = jax.device_put(state, shardings)
             start_iter = int(state.n_rounds) + 1
             for i in range(start_iter, max_iter_harmony + 1):
                 if bool(state.converged):

@@ -56,10 +56,11 @@ class EngineConfig:
     # max_iter=25) used at reference harmony.py:370-372).
     kmeans_max_iter: int = 25
     kmeans_tol: float = 1e-4
-    # k-means++ seeding runs on a uniform subsample of at most this many
-    # cells (the K sequential D^2-sampling steps are latency-bound at large
-    # N; Lloyd then refines on ALL cells, so seeding quality is preserved).
-    # Problems with N <= the cap see the exact full-data behavior.
+    # Seeding + Lloyd refinement run on a uniform subsample of at most this
+    # many cells above the cap (both are K x N-scale work whose noise washes
+    # out in Harmony's own full-data fuzzy k-means loop; see
+    # ops/kmeans.kmeans_init). Problems with N <= the cap see the exact
+    # full-data behavior.
     kmeanspp_sample: int = 131072
     # Above the subsample threshold, seeding uses k-means|| (Bahmani et al.,
     # VLDB 2012): `kmeansbb_rounds` rounds of D^2-oversampling, drawing

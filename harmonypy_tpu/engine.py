@@ -128,6 +128,13 @@ class HarmonyEngine:
         )
         self.init_fn = jax.jit(init)
         self.iter_fn = jax.jit(step, donate_argnums=0)
+        # Rebuild the chunk-stats cache from R/Phi (resume from checkpoints
+        # written before the cache field existed).
+        self.cache_fn = jax.jit(jax.shard_map(
+            lambda R, Phi: (chunk_stats(R, Phi, cfg) if cfg.fused_estep
+                            else jnp.zeros((1, 1, 1), jnp.float32)),
+            mesh=mesh, in_specs=(s2, s2), out_specs=P(AXIS),
+            check_vma=check_vma))
         # Whole fit in one compiled program (init + all harmony iterations):
         # a single dispatch and a single host sync — the fastest path when
         # per-iteration logging/checkpointing isn't needed.

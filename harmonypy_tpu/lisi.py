@@ -134,8 +134,9 @@ def compute_lisi(
     (neighbors still come from ALL cells, so each per-cell value is exact).
     The exact kNN is a dense (queries x N) distance computation — quadratic
     in N when querying every cell, which is the practical limit the
-    reference's kd-tree also hits in high dimensions. Returns (sample, L)
-    values along with the sampled row indices as a second array.
+    reference's kd-tree also hits in high dimensions. Whenever `sample` is
+    given, the return type is a stable (values, query_indices) pair — even
+    if sample >= N, in which case indices are arange(N).
     """
     X = np.asarray(X.values if hasattr(X, "values") else X)
     dtype = np.float64 if jax.config.jax_enable_x64 else np.float32
@@ -145,13 +146,15 @@ def compute_lisi(
     if sample is not None and sample < n_cells:
         rng = np.random.default_rng(random_state)
         query_idx = np.sort(rng.choice(n_cells, size=sample, replace=False))
+        subset = True
     else:
-        query_idx = None
+        query_idx = np.arange(n_cells) if sample is not None else None
+        subset = False
 
     # Everything stays on device between the kNN and the final LISI values:
     # the only host->device traffic is X and the (N,) label codes per column.
     Xd = jnp.asarray(X, dtype)
-    Qd = Xd[query_idx] if query_idx is not None else Xd
+    Qd = Xd[query_idx] if subset else Xd
     dist, idx = _knn(Qd, Xd, int(perplexity * 3) - 1)
     logU = jnp.asarray(np.log(perplexity), dist.dtype)
     tol = jnp.asarray(1e-5, dist.dtype)

@@ -32,6 +32,11 @@ def _sq_norms(X: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(X * X, axis=0)
 
 
+def _safe_log(x: jnp.ndarray) -> jnp.ndarray:
+    """log(x) for x > 0, -inf elsewhere (for Gumbel-max sampling weights)."""
+    return jnp.where(x > 0.0, jnp.log(jnp.where(x > 0.0, x, 1.0)), -jnp.inf)
+
+
 def _global_sample_columns(X, scores, axis_name):
     """Pick, for each row of `scores` (T, N_local), the globally argmax cell,
     and return those cells' columns of X as a replicated (d, T) matrix."""
@@ -68,8 +73,7 @@ def _kmeanspp_seed(key, X, mask, cfg: EngineConfig, axis_name):
         centers, d2, key = carry
         key, k1 = jax.random.split(key)
         # T i.i.d. samples with P(i) ∝ d2_i via Gumbel-max.
-        logd2 = jnp.where(d2 > 0.0, jnp.log(jnp.where(d2 > 0.0, d2, 1.0)), -jnp.inf)
-        scores = logd2[None, :] + gumbel(k1, (T, Nl))
+        scores = _safe_log(d2)[None, :] + gumbel(k1, (T, Nl))
         C = _global_sample_columns(X, scores, axis_name)        # (d, T)
         cand_d2 = xsq[None, :] + _sq_norms(C)[:, None] - 2.0 * (C.T @ X)
         cand_d2 = jnp.maximum(cand_d2, 0.0) * mask[None, :]     # (T, Nl)
@@ -124,9 +128,7 @@ def _kmeansbb_seed(key, X, mask, cfg: EngineConfig, axis_name):
     for r in range(R):
         key, kr = jax.random.split(key)
         # Gumbel top-M: M draws w/o replacement with P(i) proportional to d2.
-        logd2 = jnp.where(d2 > 0.0,
-                          jnp.log(jnp.where(d2 > 0.0, d2, 1.0)), -jnp.inf)
-        scores = logd2 + logm + gumbel(kr, (Sl,))
+        scores = _safe_log(d2) + logm + gumbel(kr, (Sl,))
         loc_val, loc_idx = lax.top_k(scores, M)
         loc_cols = X[:, loc_idx]                                # (d, M)
         vals = lax.all_gather(loc_val, axis_name)               # (ndev, M)
@@ -161,22 +163,17 @@ def _kmeansbb_seed(key, X, mask, cfg: EngineConfig, axis_name):
     csq = _sq_norms(C)
     T = cfg.kmeanspp_trials
 
-    def wgumbel(k, shape):
-        return jax.random.gumbel(k, shape, jnp.float32)
-
     key, kf = jax.random.split(key)
-    logw = jnp.where(w > 0.0, jnp.log(jnp.where(w > 0.0, w, 1.0)), -jnp.inf)
-    first = jnp.argmax(logw + wgumbel(kf, (n_cand,)))
+    first = jnp.argmax(_safe_log(w)
+                       + jax.random.gumbel(kf, (n_cand,), jnp.float32))
     centers0 = jnp.zeros((d, K), jnp.float32).at[:, 0].set(C[:, first])
     cd2_0 = jnp.maximum(csq + csq[first] - 2.0 * (C[:, first] @ C), 0.0)
 
     def step(t, carry):
         centers, cd2, key = carry
         key, k1 = jax.random.split(key)
-        pot = cd2 * w
-        logp = jnp.where(pot > 0.0,
-                         jnp.log(jnp.where(pot > 0.0, pot, 1.0)), -jnp.inf)
-        sc = logp[None, :] + wgumbel(k1, (T, n_cand))
+        sc = _safe_log(cd2 * w)[None, :] + jax.random.gumbel(
+            k1, (T, n_cand), jnp.float32)
         picks = jnp.argmax(sc, axis=1)                          # (T,)
         Ct = C[:, picks]                                        # (d, T)
         nd2 = jnp.minimum(
@@ -255,8 +252,13 @@ def kmeans_init(key, Z_cos, mask, cfg: EngineConfig, axis_name):
             jax.random.fold_in(k_sub, shard), Nl)[:Sl]
         X_seed, m_seed = Z_cos[:, sub], mask[sub]
         # Large problems: k-means|| seeding (a few wide passes) instead of
-        # K sequential latency-bound D^2 draws.
-        centers = _kmeansbb_seed(key, X_seed, m_seed, cfg, axis_name)
+        # K sequential latency-bound D^2 draws. Requires the per-shard
+        # subsample to cover one oversampling round (top-M needs M entries);
+        # tiny shards (huge meshes / tiny caps) keep sequential seeding.
+        if Sl >= cfg.kmeansbb_oversample * cfg.K:
+            centers = _kmeansbb_seed(key, X_seed, m_seed, cfg, axis_name)
+        else:
+            centers = _kmeanspp_seed(key, X_seed, m_seed, cfg, axis_name)
     else:
         X_seed, m_seed = Z_cos, mask
         centers = _kmeanspp_seed(key, X_seed, m_seed, cfg, axis_name)

@@ -48,11 +48,15 @@ def fused_update_r_xla(slots, removal, Z_cos, Phi, Y, sigma, theta, Pr_b,
     """
     geom: PallasGeometry = pallas_geometry(cfg)
     K, d, B, CH = cfg.K, cfg.d, cfg.B, geom.chunk_size
-    nb, J, nc1 = geom.n_blocks, geom.J, geom.n_chunks + 1
+    nb, nc1 = geom.n_blocks, geom.n_chunks + 1
+    # geom.J includes a trailing ALWAYS-dummy slot that only the Pallas
+    # kernel needs (to initialize its write-only outputs); here R3/cache
+    # start as zeros, so the dummy visit would be pure waste — drop it.
+    J = geom.J - 1
 
     Z3 = Z_cos.reshape(d, nc1, CH)
     P3 = Phi.reshape(B, nc1, CH)
-    slots2 = slots.reshape(nb, J)
+    slots2 = slots.reshape(nb, geom.J)[:, :J]
 
     def body(carry, inp):
         O, E, Ysum, kerr, ent, R3, cache = carry

@@ -78,8 +78,10 @@ class HarmonyState(NamedTuple):
     # Fused E-step per-chunk statistics cache (sharded on the cells axis):
     # (n_chunks+1, K, B+1) per shard, kept current by the kernel so the next
     # iteration never recomputes it from R (a (K, N)-retiling pass).
-    # Placeholder (1, 1, 1) zeros per shard on the non-fused path.
-    cache: jax.Array
+    # Placeholder (1, 1, 1) zeros per shard on the non-fused path. Defaults
+    # to None so checkpoints written before this field existed still load;
+    # the resume path rebuilds it from R/Phi (api.py).
+    cache: jax.Array = None
 
 
 def empty_histories(cfg: EngineConfig) -> dict:

@@ -21,6 +21,9 @@ def save_state(path: str, state: HarmonyState) -> None:
 
 
 def load_state(path: str) -> HarmonyState:
+    """Load a snapshot. Checkpoints from before optional trailing fields
+    existed load with those fields as their defaults (e.g. cache=None, which
+    the resume path rebuilds)."""
     with np.load(path) as data:
         leaves = [data[f"f{i}"] for i in range(len(data.files))]
     return HarmonyState(*[jax.numpy.asarray(x) for x in leaves])

@@ -48,3 +48,26 @@ def test_resume_matches_uninterrupted(tmp_path):
     np.testing.assert_array_equal(full.Z_corr, resumed.Z_corr)
     np.testing.assert_allclose(full.objective_harmony,
                                resumed.objective_harmony)
+
+
+def test_resume_from_pre_cache_checkpoint(tmp_path):
+    """Checkpoints written before HarmonyState gained the cache field still
+    resume (the cache is rebuilt from R/Phi)."""
+    X, meta = _problem()
+    mesh = make_mesh(n_devices=4)
+    ckpt = str(tmp_path)
+    full = hm.run_harmony(X, meta, ["donor"], mesh=mesh, verbose=True,
+                          max_iter_harmony=4, random_state=3,
+                          checkpoint_dir=ckpt)
+    # Strip the trailing cache field to simulate the old format.
+    import numpy as np
+    with np.load(f"{ckpt}/harmony_iter_2.npz") as z:
+        arrays = {f: z[f] for f in z.files}
+    n = len(arrays)
+    del arrays[f"f{n - 1}"]
+    np.savez(f"{ckpt}/legacy.npz", **arrays)
+
+    resumed = hm.run_harmony(X, meta, ["donor"], mesh=mesh, verbose=True,
+                             max_iter_harmony=4, random_state=3,
+                             resume_from=f"{ckpt}/legacy.npz")
+    np.testing.assert_array_equal(full.Z_corr, resumed.Z_corr)

@@ -203,12 +203,10 @@ def test_kmeans_init_quality():
 def test_kmeansbb_seeding_quality():
     """k-means|| seeding (large-N path) reaches the same correction quality
     as sequential greedy k-means++ on the same problem."""
-    import dataclasses
     import pandas as pd
     import harmonypy_tpu as hm
     import harmonypy_tpu.api as api
     from harmonypy_tpu.parallel.mesh import make_mesh
-    from harmonypy_tpu.config import EngineConfig
 
     rng = np.random.default_rng(0)
     N, d, B = 6000, 10, 3

@@ -55,6 +55,7 @@ def test_lisi_sampled_matches_full():
                                    sample=120, random_state=7)
     assert sampled.shape == (120, 1) and idx.shape == (120,)
     np.testing.assert_allclose(sampled, full[idx], rtol=1e-6, atol=1e-8)
-    # sample >= N degrades to the full computation (plain array return)
-    out = hm.compute_lisi(X, meta, ["b"], perplexity=15, sample=500)
+    # sample >= N still returns the stable (values, indices) pair
+    out, idx_all = hm.compute_lisi(X, meta, ["b"], perplexity=15, sample=500)
     np.testing.assert_allclose(out, full)
+    np.testing.assert_array_equal(idx_all, np.arange(500))
