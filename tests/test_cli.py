@@ -44,3 +44,19 @@ def test_cli_lisi(files, capsys):
     # LISI range sanity: 1 <= lisi <= #categories
     assert (lisi["donor"] >= 1 - 1e-6).all()
     assert (lisi["donor"] <= 3 + 1e-6).all()
+
+
+def test_harmony_integrate_helper():
+    """scanpy-style entry point works on any AnnData-like object."""
+    import types
+    from harmonypy_tpu.integrate import harmony_integrate
+    from harmonypy_tpu.parallel.mesh import make_mesh
+
+    X, batches, _ = synthetic_batched(n_cells=300, d=6)
+    adata = types.SimpleNamespace(
+        obsm={"X_pca": X},
+        obs=pd.DataFrame({"donor": [f"d{b}" for b in batches]}))
+    ho = harmony_integrate(adata, "donor", mesh=make_mesh(n_devices=2),
+                           verbose=False, max_iter_harmony=2)
+    assert adata.obsm["X_pca_harmony"].shape == X.shape
+    np.testing.assert_array_equal(adata.obsm["X_pca_harmony"], ho.Z_corr)

@@ -1,0 +1,152 @@
+"""Two-process multi-host smoke test (no TPU pod needed).
+
+Launches two OS processes that form a real jax.distributed cluster over
+localhost (CPU backend, 4 virtual devices each => an 8-device global mesh
+spanning 2 "hosts"), then runs the full user workflow exactly as a pod
+would:
+
+  - per-host sharded ingest (io.load_sharded_data: each process parses the
+    embedding file once and uploads only its devices' cell ranges),
+  - the sharded Harmony fit through the engine,
+  - cross-process result readback (Harmony properties allgather),
+
+and checks on process 0 that the corrected embedding matches a
+single-process 8-device run of the same problem (same algorithm, different
+process topology — collectives make the math identical up to float32
+reduction order).
+
+Usage:  python tools/multihost_smoke.py            # parent: spawns workers
+        (exit 0 = pass)
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+import tempfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+N, D, B = 4000, 8, 3
+PORT = int(os.environ.get("MULTIHOST_SMOKE_PORT", "12357"))
+
+
+def make_data(tmp):
+    import gzip
+    import numpy as np
+    rng = np.random.default_rng(0)
+    centers = rng.normal(size=(5, D)) * 4
+    g = rng.integers(0, 5, N)
+    b = rng.integers(0, B, N)
+    shifts = rng.normal(size=(B, D)) * 2
+    X = (centers[g] + shifts[b] + rng.normal(size=(N, D))).astype("float32")
+    pcs = os.path.join(tmp, "pcs.tsv.gz")
+    with gzip.open(pcs, "wt") as f:
+        f.write("\t".join(f"PC{i}" for i in range(D)) + "\n")
+        for row in X:
+            f.write("\t".join(f"{v:.6f}" for v in row) + "\n")
+    meta = os.path.join(tmp, "meta.tsv")
+    with open(meta, "w") as f:
+        f.write("donor\n")
+        for bi in b:
+            f.write(f"d{bi}\n")
+    return pcs, meta
+
+
+def worker(pid: int, tmp: str):
+    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                               + " --xla_force_host_platform_device_count=4")
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.distributed.initialize(f"localhost:{PORT}", num_processes=2,
+                               process_id=pid)
+    assert jax.process_count() == 2, jax.process_count()
+    assert len(jax.devices()) == 8, len(jax.devices())
+
+    import numpy as np
+    import pandas as pd
+    import harmonypy_tpu as hm
+    from harmonypy_tpu.config import EngineConfig
+    from harmonypy_tpu.engine import get_engine
+    from harmonypy_tpu.io import load_sharded_data
+    from harmonypy_tpu.parallel.mesh import make_mesh
+    from harmonypy_tpu.parallel.sharding import unpad_cells
+    from harmonypy_tpu.state import HarmonyParams
+
+    pcs, meta_p = os.path.join(tmp, "pcs.tsv.gz"), os.path.join(tmp, "meta.tsv")
+    meta = pd.read_csv(meta_p, sep="\t")
+    mesh = make_mesh()                     # all 8 devices across 2 processes
+
+    data, cfg, n, (Pr_b, phi_n) = load_sharded_data(pcs, meta, "donor", mesh)
+    assert n == N and cfg.n_devices == 8
+    cfg = EngineConfig(**{**cfg.__dict__, "max_iter_harmony": 3})
+    engine = get_engine(cfg, mesh)
+    params = HarmonyParams(
+        theta=jax.numpy.full((B,), 2.0, jax.numpy.float32),
+        sigma=jax.numpy.full((cfg.K,), 0.1, jax.numpy.float32),
+        lamb=jax.numpy.asarray([0.0] + [1.0] * B, jax.numpy.float32),
+        Pr_b=jax.numpy.asarray(Pr_b, jax.numpy.float32))
+    state = engine.fit_fn(data, params, jax.random.PRNGKey(0))
+
+    # Cross-process readback (the path Harmony properties use).
+    from jax.experimental import multihost_utils
+    Z_corr = unpad_cells(
+        np.asarray(multihost_utils.process_allgather(state.Z_corr,
+                                                     tiled=True)), cfg).T
+    if pid == 0:
+        np.save(os.path.join(tmp, "multi.npy"), Z_corr)
+        obj = np.asarray(state.obj_harmony[: int(state.n_harmony)])
+        print(f"worker0: N={n} iters={int(state.n_rounds)} "
+              f"objective {obj[0]:.2f} -> {obj[-1]:.2f}")
+    jax.distributed.shutdown()
+
+
+def single(tmp: str):
+    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                               + " --xla_force_host_platform_device_count=8")
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+    import pandas as pd
+    import harmonypy_tpu as hm
+    from harmonypy_tpu.io import load_matrix_tsv
+    from harmonypy_tpu.parallel.mesh import make_mesh
+
+    meta = pd.read_csv(os.path.join(tmp, "meta.tsv"), sep="\t")
+    X = load_matrix_tsv(os.path.join(tmp, "pcs.tsv.gz"))
+    ho = hm.run_harmony(X, meta, ["donor"], mesh=make_mesh(n_devices=8),
+                        verbose=False, max_iter_harmony=3)
+    np.save(os.path.join(tmp, "single.npy"), ho.Z_corr)
+
+
+def main():
+    tmp = tempfile.mkdtemp(prefix="mh_smoke_")
+    make_data(tmp)
+    env = {**os.environ, "PYTHONPATH": REPO}
+    procs = [subprocess.Popen(
+        [sys.executable, __file__, "--worker", str(pid), tmp], env=env)
+        for pid in range(2)]
+    codes = [p.wait(timeout=600) for p in procs]
+    assert codes == [0, 0], codes
+
+    subprocess.run([sys.executable, __file__, "--single", tmp],
+                   env=env, check=True, timeout=600)
+
+    import numpy as np
+    multi = np.load(os.path.join(tmp, "multi.npy"))
+    single_ = np.load(os.path.join(tmp, "single.npy"))
+    assert multi.shape == single_.shape == (N, D)
+    assert np.all(np.isfinite(multi))
+    corr = np.corrcoef(multi.ravel(), single_.ravel())[0, 1]
+    print(f"multi-host vs single-process corr: {corr:.5f}")
+    assert corr > 0.99, corr
+    print("MULTIHOST SMOKE OK")
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "--worker":
+        worker(int(sys.argv[2]), sys.argv[3])
+    elif len(sys.argv) > 1 and sys.argv[1] == "--single":
+        single(sys.argv[2])
+    else:
+        main()
