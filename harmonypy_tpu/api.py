@@ -76,8 +76,6 @@ def run_harmony(
     if nclust is None:
         nclust = int(min(round(N / 30.0), 100))
 
-    if isinstance(sigma, (float, int)) and nclust > 1:
-        sigma = np.repeat(float(sigma), nclust)
     sigma = np.asarray(sigma, dtype=np.float32).reshape(-1)
     if sigma.size == 1 and nclust > 1:
         sigma = np.repeat(sigma, nclust)
@@ -88,9 +86,13 @@ def run_harmony(
     # One-hot design matrix (reference harmony.py:133-134). Categorical
     # conversion makes numeric batch columns work too; for string columns the
     # level order (sorted) matches pd.get_dummies on the raw frame.
+    # phi_n counts DECLARED categories, not observed uniques: pd.get_dummies
+    # emits a column per category, including unused levels of a pre-existing
+    # pd.Categorical (the normal state after subsetting an AnnData frame).
     cats = meta_data[vars_use].astype("category")
     phi = pd.get_dummies(cats).to_numpy().T.astype(np.float32)
-    phi_n = cats.nunique().to_numpy().astype(int)
+    phi_n = np.asarray([len(cats[c].cat.categories) for c in cats.columns],
+                       dtype=int)
 
     # Theta broadcasting (reference harmony.py:136-147).
     if theta is None:
@@ -121,6 +123,20 @@ def run_harmony(
         lamb = np.asarray(lamb, dtype=np.float32)
         if len(lamb) == np.sum(phi_n):
             lamb = np.insert(lamb, 0, 0).astype(np.float32)
+        else:
+            raise ValueError(
+                f"lamb has length {len(lamb)}; expected one entry per batch "
+                f"variable ({len(phi_n)}) or per batch level "
+                f"({int(np.sum(phi_n))})")
+    if not lambda_estimation:
+        if np.any(np.asarray(lamb)[1:] <= 0):
+            # A zero ridge makes the normal equations exactly singular
+            # (the intercept row of Phi_moe is the sum of the batch rows);
+            # the reference's torch.linalg.inv raises on the same input.
+            raise ValueError(
+                "lamb entries must be positive (use lamb=-1 for dynamic "
+                "estimation); a zero ridge penalty makes the per-cluster "
+                "system singular")
 
     # Batch proportions + tau discount (reference harmony.py:169-173).
     N_b = phi.sum(axis=1)
@@ -226,11 +242,16 @@ class Harmony:
         self.cfg = cfg
         engine = get_engine(cfg, mesh)
 
+        lamb_arr = np.atleast_1d(np.asarray(lamb, dtype=np.float32))
+        if not lambda_estimation and len(lamb_arr) != self.B + 1:
+            raise ValueError(
+                f"lamb must have {self.B + 1} entries (intercept + one per "
+                f"batch level), got {len(lamb_arr)}")
         params = HarmonyParams(
             theta=jax.numpy.asarray(theta, jax.numpy.float32),
             sigma=jax.numpy.asarray(sigma, jax.numpy.float32),
             lamb=jax.numpy.asarray(
-                lamb if len(np.atleast_1d(lamb)) == self.B + 1
+                lamb_arr if len(lamb_arr) == self.B + 1
                 else np.zeros(self.B + 1), jax.numpy.float32),
             Pr_b=jax.numpy.asarray(Pr_b, jax.numpy.float32),
         )

@@ -109,3 +109,25 @@ def test_shape_mismatch_raises(problem):
     X, meta = problem
     with pytest.raises(AssertionError, match="same number of cells"):
         hm.run_harmony(X[:-5], meta, ["donor"])
+
+
+def test_unused_categorical_levels(problem):
+    """A pre-existing pd.Categorical with unused levels (the normal state
+    after subsetting an AnnData frame) keeps theta/Phi shapes consistent."""
+    X, meta = problem
+    meta = meta.copy()
+    meta["donor"] = pd.Categorical(
+        meta["donor"], categories=sorted(meta["donor"].unique()) + ["ghost"])
+    ho = _run(X, meta, max_iter_harmony=2)
+    B = len(meta["donor"].cat.categories)           # includes the unused one
+    assert ho.Phi.shape[1] == B
+    assert ho.theta.shape == (B,)
+    assert np.all(np.isfinite(ho.Z_corr))
+
+
+def test_malformed_lamb_raises(problem):
+    X, meta = problem
+    with pytest.raises(ValueError, match="lamb"):
+        _run(X, meta, lamb=[1.0, 1.0])              # 3 levels, 2 entries
+    with pytest.raises(ValueError, match="positive"):
+        _run(X, meta, lamb=0)                       # singular ridge
