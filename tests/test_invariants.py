@@ -131,3 +131,26 @@ def test_malformed_lamb_raises(problem):
         _run(X, meta, lamb=[1.0, 1.0])              # 3 levels, 2 entries
     with pytest.raises(ValueError, match="positive"):
         _run(X, meta, lamb=0)                       # singular ridge
+
+
+def test_tau_discounts_theta(problem):
+    """tau > 0 applies the theta discount 1 - exp(-(N_b/(K*tau))^2)
+    (reference harmony.py:172-173)."""
+    X, meta = problem
+    ho0 = _run(X, meta, max_iter_harmony=1)
+    ho_tau = _run(X, meta, max_iter_harmony=1, tau=50)
+    N_b = ho_tau.Phi.sum(axis=0)
+    expected = ho0.theta * (1 - np.exp(-(N_b / (ho_tau.K * 50)) ** 2))
+    np.testing.assert_allclose(ho_tau.theta, expected, rtol=1e-5)
+    assert np.all(ho_tau.theta < ho0.theta)
+
+
+def test_numeric_batch_column(problem):
+    """Integer-typed batch columns work (categorical conversion in the
+    driver); results match the equivalent string labels."""
+    X, meta = problem
+    codes = pd.Categorical(meta["donor"]).codes
+    meta_num = pd.DataFrame({"donor": codes.astype(np.int64)})
+    a = _run(X, meta, max_iter_harmony=2).Z_corr
+    b = _run(X, meta_num, max_iter_harmony=2).Z_corr
+    np.testing.assert_array_equal(a, b)
