@@ -137,9 +137,14 @@ def main():
     single_ = np.load(os.path.join(tmp, "single.npy"))
     assert multi.shape == single_.shape == (N, D)
     assert np.all(np.isfinite(multi))
-    corr = np.corrcoef(multi.ravel(), single_.ravel())[0, 1]
-    print(f"multi-host vs single-process corr: {corr:.5f}")
-    assert corr > 0.99, corr
+    # Same mesh partitioning and algorithm; the cross-PROCESS collectives
+    # (Gloo) may reduce in a different order than the in-process XLA ones,
+    # so equivalence is float32-reduction-order tight (measured max|diff|
+    # ~2e-5 over a 3-iteration fit), not bitwise. Bitwise determinism holds
+    # within a fixed topology (same seed => identical runs; tests/test_seed).
+    max_abs = float(np.max(np.abs(multi - single_)))
+    print(f"multi-host vs single-process: max|diff|={max_abs:.3g}")
+    np.testing.assert_allclose(multi, single_, rtol=2e-3, atol=1e-4)
     print("MULTIHOST SMOKE OK")
 
 
