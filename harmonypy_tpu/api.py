@@ -79,6 +79,9 @@ def run_harmony(
     sigma = np.asarray(sigma, dtype=np.float32).reshape(-1)
     if sigma.size == 1 and nclust > 1:
         sigma = np.repeat(sigma, nclust)
+    if sigma.size != nclust:
+        raise ValueError(f"sigma must be a scalar or have nclust={nclust} "
+                         f"entries, got {sigma.size}")
 
     if isinstance(vars_use, str):
         vars_use = [vars_use]
@@ -250,9 +253,11 @@ class Harmony:
         params = HarmonyParams(
             theta=jax.numpy.asarray(theta, jax.numpy.float32),
             sigma=jax.numpy.asarray(sigma, jax.numpy.float32),
+            # Ignored under lambda estimation (ridge derives alpha*E per
+            # cluster); the length check above guarantees B+1 otherwise.
             lamb=jax.numpy.asarray(
-                lamb_arr if len(lamb_arr) == self.B + 1
-                else np.zeros(self.B + 1), jax.numpy.float32),
+                np.zeros(self.B + 1) if lambda_estimation else lamb_arr,
+                jax.numpy.float32),
             Pr_b=jax.numpy.asarray(Pr_b, jax.numpy.float32),
         )
         self._params = params

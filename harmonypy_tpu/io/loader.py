@@ -175,7 +175,11 @@ def load_sharded_data(pcs_path: str, meta_data, vars_use, mesh,
         vars_use = [vars_use]
     cats = meta_data[vars_use].astype("category")
     phi = pd.get_dummies(cats).to_numpy().T.astype(np.float32)  # (B, N)
-    phi_n = cats.nunique().to_numpy().astype(int)
+    # Count DECLARED categories (get_dummies emits a column per category,
+    # including unused levels of a pre-existing pd.Categorical) — must stay
+    # in sync with api.run_harmony's design-matrix build.
+    phi_n = np.asarray([len(cats[c].cat.categories) for c in cats.columns],
+                       dtype=int)
     B = phi.shape[0]
 
     # One parse per host (the TSV formats are not row-seekable anyway), then

@@ -72,8 +72,15 @@ def moe_correct_ridge(Z_orig, Phi, R, E, params: HarmonyParams,
 
     # Ridge penalty per cluster (dynamic lambda: reference :541-544, 587-591).
     if cfg.lambda_estimation:
+        # Floor at a tiny positive value: a batch level with E[k,b] == 0
+        # (e.g. an unused categorical level, Pr_b == 0) has an all-zero
+        # Phi_moe row, and alpha*E == 0 would make cov[k] exactly singular —
+        # the floor keeps the solve regular and yields W == 0 for that level
+        # (its rhs row is zero), i.e. no correction, which is the right
+        # answer for a level with no cells.
         lamb_k = jnp.concatenate(
-            [jnp.zeros((K, 1), jnp.float32), jnp.float32(cfg.alpha) * E], axis=1
+            [jnp.zeros((K, 1), jnp.float32),
+             jnp.maximum(jnp.float32(cfg.alpha) * E, 1e-6)], axis=1
         )                                                       # (K, B1)
     else:
         lamb_k = jnp.broadcast_to(params.lamb[None, :], (K, B1))

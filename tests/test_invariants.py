@@ -154,3 +154,22 @@ def test_numeric_batch_column(problem):
     a = _run(X, meta, max_iter_harmony=2).Z_corr
     b = _run(X, meta_num, max_iter_harmony=2).Z_corr
     np.testing.assert_array_equal(a, b)
+
+
+def test_unused_levels_with_dynamic_lambda(problem):
+    """lamb=-1 with an unused categorical level: the dynamic ridge floor
+    keeps the per-cluster systems regular (alpha*E == 0 for a level with no
+    cells would otherwise make them exactly singular -> silent NaN)."""
+    X, meta = problem
+    meta = meta.copy()
+    meta["donor"] = pd.Categorical(
+        meta["donor"], categories=sorted(meta["donor"].unique()) + ["ghost"])
+    ho = _run(X, meta, max_iter_harmony=2, lamb=-1)
+    assert np.all(np.isfinite(ho.Z_corr))
+    assert np.all(np.isfinite(ho.objective_harmony))
+
+
+def test_malformed_sigma_raises(problem):
+    X, meta = problem
+    with pytest.raises(ValueError, match="sigma"):
+        _run(X, meta, sigma=[0.1, 0.2])             # neither scalar nor K

@@ -28,7 +28,10 @@ import tempfile
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 N, D, B = 4000, 8, 3
-PORT = int(os.environ.get("MULTIHOST_SMOKE_PORT", "12357"))
+# Per-run port so a killed/failed previous run can't poison this one with a
+# stale coordinator; workers inherit it via the environment.
+PORT = int(os.environ.get("MULTIHOST_SMOKE_PORT",
+                          str(20000 + os.getpid() % 10000)))
 
 
 def make_data(tmp):
@@ -120,18 +123,27 @@ def single(tmp: str):
 
 
 def main():
+    import shutil
     tmp = tempfile.mkdtemp(prefix="mh_smoke_")
     make_data(tmp)
-    env = {**os.environ, "PYTHONPATH": REPO}
+    env = {**os.environ, "PYTHONPATH": REPO,
+           "MULTIHOST_SMOKE_PORT": str(PORT)}
     procs = [subprocess.Popen(
         [sys.executable, __file__, "--worker", str(pid), tmp], env=env)
         for pid in range(2)]
-    codes = [p.wait(timeout=600) for p in procs]
-    assert codes == [0, 0], codes
+    try:
+        codes = [p.wait(timeout=240) for p in procs]
+        assert codes == [0, 0], codes
+        subprocess.run([sys.executable, __file__, "--single", tmp],
+                       env=env, check=True, timeout=240)
+        _check(tmp)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+        shutil.rmtree(tmp, ignore_errors=True)
 
-    subprocess.run([sys.executable, __file__, "--single", tmp],
-                   env=env, check=True, timeout=600)
-
+def _check(tmp: str):
     import numpy as np
     multi = np.load(os.path.join(tmp, "multi.npy"))
     single_ = np.load(os.path.join(tmp, "single.npy"))
