@@ -47,6 +47,7 @@ def run_harmony(
     use_pallas=None,
     chunk_size=2048,
     matmul_precision="default",
+    low_memory=False,
 ):
     """Run Harmony batch-effect correction on TPU (or any JAX backend).
 
@@ -65,6 +66,10 @@ def run_harmony(
       matmul_precision  "default" (single-pass bf16-input MXU matmuls, fp32
                       accumulation — golden r 0.998 vs the R output) or
                       "float32" (strict multi-pass fp32, ~3x the matmul cost).
+      low_memory      store the K x N soft-assignment matrix R in bfloat16
+                      (half the dominant state array; every statistic still
+                      accumulates in fp32 from the pre-cast values). Enables
+                      e.g. K=200 x 5M cells on a single 16 GB chip.
     """
     N = meta_data.shape[0]
     data_mat = np.asarray(data_mat.values if hasattr(data_mat, "values") else data_mat)
@@ -180,7 +185,7 @@ def run_harmony(
         epsilon_cluster, epsilon_harmony, nclust, block_size, verbose,
         random_state, device, mesh=mesh, checkpoint_dir=checkpoint_dir,
         resume_from=resume_from, use_pallas=use_pallas, chunk_size=chunk_size,
-        matmul_precision=matmul_precision,
+        matmul_precision=matmul_precision, low_memory=low_memory,
     )
 
 
@@ -194,7 +199,7 @@ class Harmony:
                  epsilon_kmeans, epsilon_harmony, K, block_size, verbose,
                  random_state, device=None, *, mesh=None, checkpoint_dir=None,
                  resume_from=None, use_pallas=None, chunk_size=2048,
-                 matmul_precision="default"):
+                 matmul_precision="default", low_memory=False):
         Z = np.asarray(Z, dtype=np.float32)
         Phi = np.asarray(Phi, dtype=np.float32)
         if mesh is None:
@@ -241,6 +246,7 @@ class Harmony:
             alpha=float(alpha),
             lambda_estimation=bool(lambda_estimation),
             matmul_precision=str(matmul_precision),
+            r_dtype="bfloat16" if low_memory else "float32",
         )
         self.cfg = cfg
         engine = get_engine(cfg, mesh)
@@ -376,8 +382,9 @@ class Harmony:
 
     @property
     def R(self):
-        """Soft cluster assignments (N x K)."""
-        return self._cells(self.state.R)
+        """Soft cluster assignments (N x K), float32 regardless of the
+        storage dtype (numpy has no native bfloat16)."""
+        return self._cells(self.state.R.astype(jax.numpy.float32))
 
     @property
     def Y(self):

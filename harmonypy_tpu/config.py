@@ -70,6 +70,14 @@ class EngineConfig:
     kmeansbb_rounds: int = 5
     kmeansbb_oversample: int = 2
 
+    # Storage dtype for the soft-assignment matrix R — the dominant state
+    # array (K x N). "bfloat16" halves its HBM footprint and write
+    # bandwidth: R is WRITE-ONLY in the fused E-step design (all O/E/Y/
+    # objective statistics accumulate in fp32 from the pre-cast values), so
+    # the cast touches only the stored copy that the ridge later reads.
+    # Enables e.g. K=200 x 5M cells on a single 16 GB chip.
+    r_dtype: str = "float32"
+
     # MXU matmul precision. "default" runs single-pass bf16-input matmuls
     # with fp32 accumulation — measured min per-PC Pearson r vs the R golden
     # output: 0.9980 (vs 0.9985 at "float32", which costs ~3x the MXU passes
@@ -89,6 +97,11 @@ class EngineConfig:
     @property
     def fused_estep(self) -> bool:
         return self.use_pallas or self.use_fused_xla
+
+    @property
+    def r_jnp_dtype(self):
+        import jax.numpy as jnp
+        return jnp.bfloat16 if self.r_dtype == "bfloat16" else jnp.float32
 
     # ---- derived geometry ------------------------------------------------
     @property

@@ -174,7 +174,8 @@ class HarmonyEngine:
             R = compute_scale_dist(dist_mat, params.sigma)  # harmony.py:383-385
             R = R * mask[None, :]                    # padding carries no mass
 
-            # Batch diversity statistics (harmony.py:388-389).
+            # Batch diversity statistics (harmony.py:388-389) — from the
+            # full-precision R, before any storage-dtype cast.
             E = jnp.outer(lax.psum(jnp.sum(R, axis=1), AXIS), params.Pr_b)
             O = lax.psum(R @ Phi.T, AXIS)
 
@@ -193,6 +194,7 @@ class HarmonyEngine:
             # it current from here on (R never changes outside the E-step).
             cache = (chunk_stats(R, Phi, cfg) if cfg.fused_estep
                      else jnp.zeros((1, 1, 1), jnp.float32))
+            R = R.astype(cfg.r_jnp_dtype)
 
             return HarmonyState(
                 Z_corr=Z_orig, Z_cos=Z_cos, R=R, Y=Y, O=O, E=E, key=key,

@@ -42,6 +42,7 @@ def compute_objective_terms(R, dist_mat, O, E, Phi, params: HarmonyParams,
     """Returns (kmeans_error, entropy, cross_entropy), each * 2000/N."""
     norm_const = jnp.float32(2000.0 / cfg.N)
     sigma_col = params.sigma[:, None]
+    R = R.astype(jnp.float32)  # fp32 sums regardless of R's storage dtype
 
     kmeans_error = lax.psum(jnp.sum(R * dist_mat), axis_name)
     entropy = lax.psum(jnp.sum(safe_entropy(R) * sigma_col), axis_name)

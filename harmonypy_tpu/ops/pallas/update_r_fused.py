@@ -116,7 +116,8 @@ def chunk_stats(R, Phi, cfg: EngineConfig) -> jnp.ndarray:
     and rejected: its TPU lowering materializes a 45 GB padded copy.)"""
     CH = cfg.chunk_size
     nc1 = R.shape[1] // CH
-    R3 = R.reshape(cfg.K, nc1, CH)
+    # fp32 accumulation regardless of R's storage dtype.
+    R3 = R.astype(jnp.float32).reshape(cfg.K, nc1, CH)
     P3 = Phi.reshape(cfg.B, nc1, CH)
     parts = [jnp.sum(R3, axis=2)]                              # (K, nc1)
     parts += [jnp.sum(R3 * P3[b][None, :, :], axis=2) for b in range(cfg.B)]
@@ -169,7 +170,8 @@ def _kernel(slots_ref, Zc, Phi, Y, sigma, theta, prb, O_in, E_in, rem,
         wdiv[:], pb, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     r_new = r_new / jnp.maximum(jnp.sum(r_new, axis=0, keepdims=True), CLAMP)
-    R_out[:] = r_new
+    # Storage cast only; every statistic below uses the fp32 r_new.
+    R_out[:] = r_new.astype(R_out.dtype)
 
     # Per-chunk stats: re-add accumulators + the persistent cache row.
     sum_r = jnp.sum(r_new, axis=1, keepdims=True)               # (K, 1)
@@ -261,7 +263,7 @@ def fused_update_r(slots, removal, Z_cos, Phi, Y, sigma, theta, Pr_b, O, E,
     )
 
     out_shape = [
-        jax.ShapeDtypeStruct((K, N_alloc), jnp.float32),
+        jax.ShapeDtypeStruct((K, N_alloc), cfg.r_jnp_dtype),
         jax.ShapeDtypeStruct((K, B), jnp.float32),
         jax.ShapeDtypeStruct((K, B), jnp.float32),
         jax.ShapeDtypeStruct((d, K), jnp.float32),

@@ -88,7 +88,7 @@ def update_r(key, R, dist_mat, Phi, E, O, params: HarmonyParams,
         valid = (offsets < size_b) & (idx < Nl)
         live = valid.astype(jnp.float32) * mask[idx_c]           # (W,)
 
-        Rb = R[:, idx_c] * live[None, :]                         # (K, W)
+        Rb = R[:, idx_c].astype(jnp.float32) * live[None, :]     # (K, W)
         Phib = Phi[:, idx_c] * live[None, :]                     # (B, W)
         scaleb = scale[:, idx_c]                                 # (K, W)
 
@@ -107,8 +107,9 @@ def update_r(key, R, dist_mat, Phi, E, O, params: HarmonyParams,
         O = O + lax.psum(R_new @ Phib.T, axis_name)
 
         # Scatter the block back; invalid lanes target index Nl => dropped.
+        # (Storage cast only — the E/O stats above used the fp32 values.)
         scatter_idx = jnp.where(valid, idx, Nl)
-        R = R.at[:, scatter_idx].set(R_new, mode="drop")
+        R = R.at[:, scatter_idx].set(R_new.astype(R.dtype), mode="drop")
         return (R, E, O), None
 
     (R, E, O), _ = lax.scan(

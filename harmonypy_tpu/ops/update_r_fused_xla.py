@@ -96,7 +96,8 @@ def fused_update_r_xla(slots, removal, Z_cos, Phi, Y, sigma, theta, Pr_b,
 
         # Write-back: every real chunk is written exactly once per round;
         # dummy-slot writes all carry zeros, so duplicates are harmless.
-        R3 = R3.at[:, slots_b, :].set(r3)
+        # Storage cast only — all statistics above used the fp32 values.
+        R3 = R3.at[:, slots_b, :].set(r3.astype(R3.dtype))
         stats = jnp.concatenate([sum_c.T[:, :, None],
                                  o_c], axis=2)                 # (J, K, B+1)
         cache = cache.at[slots_b].set(stats)
@@ -105,7 +106,7 @@ def fused_update_r_xla(slots, removal, Z_cos, Phi, Y, sigma, theta, Pr_b,
     init = (O, E,
             jnp.zeros((d, K), jnp.float32),
             jnp.float32(0.0), jnp.float32(0.0),
-            jnp.zeros((K, nc1, CH), jnp.float32),
+            jnp.zeros((K, nc1, CH), cfg.r_jnp_dtype),
             jnp.zeros((nc1, K, B + 1), jnp.float32))
     (O, E, Ysum, kerr, ent, R3, cache), _ = lax.scan(
         body, init, (slots2, removal))

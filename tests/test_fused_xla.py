@@ -123,3 +123,23 @@ def test_fused_xla_seed_reproducible():
 
     np.testing.assert_array_equal(run(11), run(11))
     assert np.abs(run(11) - run(12)).sum() > 1.0
+
+
+def test_low_memory_fused():
+    """bfloat16 R through the fused (chunked) E-step path."""
+    N = 21_000
+    X, meta = _synthetic(N, seed=3)
+    mesh = make_mesh(n_devices=8)
+    ho = hm.run_harmony(X, meta, ["batch"], mesh=mesh, verbose=False,
+                        nclust=12, chunk_size=128, max_iter_harmony=2,
+                        low_memory=True)
+    assert ho.cfg.use_fused_xla and ho.cfg.r_dtype == "bfloat16"
+    assert np.all(np.isfinite(ho.Z_corr))
+    R, Phi = ho.R.T, ho.Phi.T
+    # O/E accumulate in fp32 from pre-cast values; vs the bf16-stored R the
+    # match is bf16-rounding tight.
+    np.testing.assert_allclose(ho.O, R @ Phi.T, rtol=2e-2, atol=0.5)
+    ho32 = hm.run_harmony(X, meta, ["batch"], mesh=mesh, verbose=False,
+                          nclust=12, chunk_size=128, max_iter_harmony=2)
+    corr = np.corrcoef(ho.Z_corr.ravel(), ho32.Z_corr.ravel())[0, 1]
+    assert corr > 0.995, corr

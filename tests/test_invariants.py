@@ -173,3 +173,19 @@ def test_malformed_sigma_raises(problem):
     X, meta = problem
     with pytest.raises(ValueError, match="sigma"):
         _run(X, meta, sigma=[0.1, 0.2])             # neither scalar nor K
+
+
+def test_low_memory_mode(problem):
+    """bfloat16-stored R: same correction quality, fp32-accumulated stats."""
+    X, meta = problem
+    a = _run(X, meta, max_iter_harmony=3)
+    b = _run(X, meta, max_iter_harmony=3, low_memory=True)
+    assert b.cfg.r_dtype == "bfloat16"
+    assert np.all(np.isfinite(b.Z_corr))
+    assert b.R.dtype == np.float32        # public view is float32
+    np.testing.assert_allclose(b.R.sum(axis=1), 1.0, atol=5e-3)
+    corr = np.corrcoef(a.Z_corr.ravel(), b.Z_corr.ravel())[0, 1]
+    assert corr > 0.995, corr
+    l_a = hm.compute_lisi(a.Z_corr, meta, ["donor"]).mean()
+    l_b = hm.compute_lisi(b.Z_corr, meta, ["donor"]).mean()
+    assert abs(l_a - l_b) < 0.1, (l_a, l_b)
