@@ -22,6 +22,11 @@ from .parallel.sharding import shard_inputs
 from .utils.logging import logger
 from .utils.checkpoint import save_state
 
+# Warn when a problem this large misses the fused E-step (the per-cell
+# fallback's block scatter pays a full copy of R per block — see
+# ops/pallas/update_r_fused.py module docstring for the measurement).
+_SLOW_PATH_WARN_N = 65536
+
 
 def run_harmony(
     data_mat,
@@ -67,9 +72,11 @@ def run_harmony(
                       accumulation — golden r 0.998 vs the R output) or
                       "float32" (strict multi-pass fp32, ~3x the matmul cost).
       low_memory      store the K x N soft-assignment matrix R in bfloat16
-                      (half the dominant state array; every statistic still
-                      accumulates in fp32 from the pre-cast values). Enables
-                      e.g. K=200 x 5M cells on a single 16 GB chip.
+                      (half the dominant state array). On the fused E-step
+                      paths every statistic still accumulates in fp32 from
+                      the pre-cast values; the per-cell fallback instead
+                      keeps O/E exactly consistent with the stored (rounded)
+                      values. Enables e.g. K=200 x 5M cells on one 16 GB chip.
     """
     N = meta_data.shape[0]
     data_mat = np.asarray(data_mat.values if hasattr(data_mat, "values") else data_mat)
@@ -249,6 +256,13 @@ class Harmony:
             r_dtype="bfloat16" if low_memory else "float32",
         )
         self.cfg = cfg
+        if not cfg.fused_estep and self.N > _SLOW_PATH_WARN_N:
+            logger.warning(
+                f"N={self.N}: chunk geometry (chunk_size={chunk_size}, "
+                f"{n_devices} device(s)) disables the fused E-step; falling "
+                f"back to the per-cell update, which is several times slower "
+                f"at this scale. A smaller chunk_size usually restores the "
+                f"fused path.")
         engine = get_engine(cfg, mesh)
 
         lamb_arr = np.atleast_1d(np.asarray(lamb, dtype=np.float32))

@@ -173,9 +173,14 @@ class HarmonyEngine:
             dist_mat = 2.0 * (1.0 - Y.T @ Z_cos)     # harmony.py:380
             R = compute_scale_dist(dist_mat, params.sigma)  # harmony.py:383-385
             R = R * mask[None, :]                    # padding carries no mass
+            if not cfg.fused_estep:
+                # The per-cell E-step's block removal re-reads the STORED R,
+                # so O/E must be computed from the storage-rounded values
+                # (round-trip cast; a no-op at float32). The fused paths keep
+                # an fp32 pre-cast cache instead and use the pre-cast values.
+                R = R.astype(cfg.r_jnp_dtype).astype(jnp.float32)
 
-            # Batch diversity statistics (harmony.py:388-389) — from the
-            # full-precision R, before any storage-dtype cast.
+            # Batch diversity statistics (harmony.py:388-389).
             E = jnp.outer(lax.psum(jnp.sum(R, axis=1), AXIS), params.Pr_b)
             O = lax.psum(R @ Phi.T, AXIS)
 

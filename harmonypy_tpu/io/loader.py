@@ -44,12 +44,21 @@ def _load_native():
             return _lib
         _lib_tried = True
         if not os.path.exists(_SO_PATH):
+            # Build in a private temp dir and atomically rename into place:
+            # several processes on one host (pod workers, pytest-xdist) may
+            # race here, and dlopen of a half-written .so would crash.
             try:
-                subprocess.run(
-                    ["make", "-C", _NATIVE_DIR, "-s"],
-                    check=True, capture_output=True, timeout=120)
+                import shutil
+                import tempfile
+                with tempfile.TemporaryDirectory(dir=_NATIVE_DIR) as td:
+                    for f in ("fasttsv.cpp", "Makefile"):
+                        shutil.copy(os.path.join(_NATIVE_DIR, f), td)
+                    subprocess.run(["make", "-C", td, "-s"],
+                                   check=True, capture_output=True, timeout=120)
+                    os.replace(os.path.join(td, "_fasttsv.so"), _SO_PATH)
             except Exception:
-                return None
+                if not os.path.exists(_SO_PATH):
+                    return None
         try:
             lib = ctypes.CDLL(_SO_PATH)
         except OSError:
@@ -187,9 +196,16 @@ def load_sharded_data(pcs_path: str, meta_data, vars_use, mesh,
     X_host = load_matrix(pcs_path)
     d = X_host.shape[1]
     if cfg is None:
+        # Mirror api.Harmony's engine selection so sharded ingest defaults to
+        # the same E-step path and padding layout run_harmony would pick.
+        from ..config import fused_geometry_ok, pallas_supported
         K = int(min(round(N / 30.0), 100))
-        cfg = EngineConfig(N=N, d=d, K=K, B=B,
-                           n_devices=int(mesh.devices.size))
+        n_devices = int(mesh.devices.size)
+        use_pallas = (mesh.devices.flat[0].platform == "tpu"
+                      and pallas_supported(N, n_devices))
+        use_fused_xla = (not use_pallas) and fused_geometry_ok(N, n_devices)
+        cfg = EngineConfig(N=N, d=d, K=K, B=B, n_devices=n_devices,
+                           use_pallas=use_pallas, use_fused_xla=use_fused_xla)
 
     n_pad = cfg.N_pad
     per_dev = cfg.N_local

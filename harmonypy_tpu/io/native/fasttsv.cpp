@@ -195,9 +195,13 @@ TsvHandle* fasttsv_load(const char* path, int n_threads, char* err,
   std::string msg;
   if (!slurp(path, buf, msg)) return fail(msg);
   if (buf.empty()) return fail("empty file");
+  // NUL sentinel: the strtof fallback in parse_float scans from a raw
+  // pointer; without a terminator a final field lacking a trailing newline
+  // could read past the buffer.
+  buf.push_back('\0');
 
   const char* base = buf.data();
-  const char* end = base + buf.size();
+  const char* end = base + buf.size() - 1;  // exclude the sentinel
 
   // Index line starts.
   std::vector<const char*> lines;

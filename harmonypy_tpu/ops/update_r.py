@@ -102,14 +102,20 @@ def update_r(key, R, dist_mat, Phi, E, O, params: HarmonyParams,
         colsum = jnp.maximum(jnp.sum(R_new, axis=0), CLAMP)
         R_new = (R_new / colsum[None, :]) * live[None, :]
 
-        # Put block cells back (reference :506-507).
-        E = E + jnp.outer(lax.psum(jnp.sum(R_new, axis=1), axis_name), params.Pr_b)
-        O = O + lax.psum(R_new @ Phib.T, axis_name)
+        # Put block cells back (reference :506-507). Accumulate from the
+        # STORED (possibly bf16-rounded) values: this path's removal above
+        # re-reads the stored R, so O/E must stay exactly consistent with it
+        # or a rounding residual would accrue every round. (The fused paths
+        # instead keep an fp32 pre-cast stats cache — see
+        # ops/pallas/update_r_fused.chunk_stats.)
+        R_store = R_new.astype(R.dtype)
+        R_acc = R_store.astype(jnp.float32)
+        E = E + jnp.outer(lax.psum(jnp.sum(R_acc, axis=1), axis_name), params.Pr_b)
+        O = O + lax.psum(R_acc @ Phib.T, axis_name)
 
         # Scatter the block back; invalid lanes target index Nl => dropped.
-        # (Storage cast only — the E/O stats above used the fp32 values.)
         scatter_idx = jnp.where(valid, idx, Nl)
-        R = R.at[:, scatter_idx].set(R_new.astype(R.dtype), mode="drop")
+        R = R.at[:, scatter_idx].set(R_store, mode="drop")
         return (R, E, O), None
 
     (R, E, O), _ = lax.scan(

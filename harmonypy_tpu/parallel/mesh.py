@@ -54,9 +54,33 @@ def make_mesh(devices=None, n_devices: int | None = None) -> Mesh:
     return Mesh(np.array(devices), (AXIS,))
 
 
+# Torch device names accepted for drop-in compatibility with the reference
+# (harmony.py:35-46 accepts "cuda" / "mps" / "cpu"). "cuda" maps to JAX's
+# "gpu" platform; "mps" has no JAX backend.
+_TORCH_PLATFORM_MAP = {"cuda": "gpu", "mps": None}
+
+
 def default_mesh(device: str | None = None) -> Mesh:
-    """Mesh over all devices of the requested platform (None = default)."""
+    """Mesh over all devices of the requested platform (None = default).
+
+    Accepts JAX platform strings ("tpu", "cpu", "gpu") and, for drop-in
+    compatibility, the reference's torch device strings ("cuda", "cuda:0",
+    "mps").
+    """
     if device is None:
         return make_mesh()
-    platform = device.split(":")[0]
-    return make_mesh(jax.devices(platform))
+    platform = device.split(":")[0].lower()
+    platform = _TORCH_PLATFORM_MAP.get(platform, platform)
+    if platform is None:
+        raise ValueError(
+            f"device={device!r}: JAX has no Apple-MPS backend; "
+            f"use device='tpu' or device='cpu'")
+    try:
+        devices = jax.devices(platform)
+    except RuntimeError as e:
+        present = {d.platform for d in jax.devices()}
+        raise ValueError(
+            f"device={device!r}: no JAX {platform!r} backend is available "
+            f"(present platforms: {sorted(present)}); use one of those or "
+            f"leave device=None") from e
+    return make_mesh(devices)

@@ -1,0 +1,50 @@
+"""Drop-in compatibility details: torch device strings (reference
+harmony.py:35-46 accepts "cuda"/"mps"/"cpu") and the slow-path warning when a
+large problem misses the fused E-step."""
+
+import logging
+
+import pandas as pd
+import pytest
+
+import harmonypy_tpu as hm
+from harmonypy_tpu.parallel.mesh import default_mesh, make_mesh
+
+from conftest import synthetic_batched
+
+
+def _problem(n_cells=300):
+    X, batches, _ = synthetic_batched(n_cells=n_cells, d=6)
+    meta = pd.DataFrame({"donor": [f"d{b}" for b in batches]})
+    return X, meta
+
+
+def test_device_string_mapping():
+    # CPU test env: no gpu backend — "cuda" must raise a helpful ValueError
+    # (naming the missing platform), not an opaque JAX error.
+    with pytest.raises(ValueError, match="gpu"):
+        default_mesh("cuda")
+    with pytest.raises(ValueError, match="MPS"):
+        default_mesh("mps")
+    assert default_mesh("cpu").devices.size >= 1
+    assert default_mesh("cpu:0").devices.size >= 1
+
+
+def test_run_harmony_device_cuda_message():
+    X, meta = _problem(n_cells=120)
+    with pytest.raises(ValueError, match="cuda"):
+        hm.run_harmony(X, meta, ["donor"], device="cuda", verbose=False)
+
+
+def test_slow_path_warning(monkeypatch, caplog):
+    import harmonypy_tpu.api as api
+    monkeypatch.setattr(api, "_SLOW_PATH_WARN_N", 100)
+    X, meta = _problem(n_cells=300)
+    # chunk_size larger than the shard disables the fused geometry -> the
+    # per-cell fallback must announce itself.
+    with caplog.at_level(logging.WARNING, logger="harmonypy_tpu"):
+        ho = hm.run_harmony(X, meta, ["donor"], mesh=make_mesh(n_devices=1),
+                            verbose=False, max_iter_harmony=1,
+                            chunk_size=4096)
+    assert not ho.cfg.fused_estep
+    assert any("fused E-step" in r.message for r in caplog.records)

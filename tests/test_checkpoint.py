@@ -50,6 +50,24 @@ def test_resume_matches_uninterrupted(tmp_path):
                                resumed.objective_harmony)
 
 
+def test_checkpoint_low_memory_roundtrip(tmp_path):
+    """low_memory (bfloat16-stored R) checkpoints survive save/load/resume —
+    np.savez alone would serialize bfloat16 as opaque void bytes."""
+    X, meta = _problem()
+    mesh = make_mesh(n_devices=4)
+    ckpt = str(tmp_path)
+    full = hm.run_harmony(X, meta, ["donor"], mesh=mesh, verbose=True,
+                          max_iter_harmony=4, random_state=3,
+                          low_memory=True, checkpoint_dir=ckpt)
+    loaded = load_state(f"{ckpt}/harmony_iter_2.npz")
+    assert str(np.asarray(loaded.R).dtype) == "bfloat16"
+    resumed = hm.run_harmony(X, meta, ["donor"], mesh=mesh, verbose=True,
+                             max_iter_harmony=4, random_state=3,
+                             low_memory=True,
+                             resume_from=f"{ckpt}/harmony_iter_2.npz")
+    np.testing.assert_array_equal(full.Z_corr, resumed.Z_corr)
+
+
 def test_resume_from_pre_cache_checkpoint(tmp_path):
     """Checkpoints written before HarmonyState gained the cache field still
     resume (the cache is rebuilt from R/Phi)."""
@@ -59,12 +77,12 @@ def test_resume_from_pre_cache_checkpoint(tmp_path):
     full = hm.run_harmony(X, meta, ["donor"], mesh=mesh, verbose=True,
                           max_iter_harmony=4, random_state=3,
                           checkpoint_dir=ckpt)
-    # Strip the trailing cache field to simulate the old format.
-    import numpy as np
+    # Strip the trailing cache field AND the dtype sidecar to simulate the
+    # old format.
     with np.load(f"{ckpt}/harmony_iter_2.npz") as z:
-        arrays = {f: z[f] for f in z.files}
-    n = len(arrays)
-    del arrays[f"f{n - 1}"]
+        fkeys = sorted((f for f in z.files if f.startswith("f")),
+                       key=lambda s: int(s[1:]))
+        arrays = {f: z[f] for f in fkeys[:-1]}
     np.savez(f"{ckpt}/legacy.npz", **arrays)
 
     resumed = hm.run_harmony(X, meta, ["donor"], mesh=mesh, verbose=True,

@@ -7,9 +7,12 @@ import os
 import subprocess
 import sys
 
+import pytest
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+@pytest.mark.slow
 def test_multihost_smoke():
     env = {**os.environ, "MULTIHOST_SMOKE_PORT": "12461"}
     # Fresh processes: the script must control backend init itself.

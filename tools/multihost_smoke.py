@@ -96,6 +96,33 @@ def worker(pid: int, tmp: str):
     Z_corr = unpad_cells(
         np.asarray(multihost_utils.process_allgather(state.Z_corr,
                                                      tiled=True)), cfg).T
+
+    # Checkpoint + resume ACROSS the 2-process cluster: save_state gathers
+    # non-addressable leaves collectively and writes from process 0 only;
+    # resume re-uploads the global snapshot onto the same mesh. The resumed
+    # continuation must be bitwise-identical to the uninterrupted one.
+    from jax.sharding import NamedSharding, PartitionSpec
+    from harmonypy_tpu.utils.checkpoint import load_state, save_state
+    s = engine.init_fn(data, params, jax.random.PRNGKey(0))
+    for i in range(1, 4):
+        s = engine.iter_fn(s, data, params)
+        save_state(os.path.join(tmp, f"ckpt_{i}.npz"), s)
+    multihost_utils.sync_global_devices("checkpoints written")
+    Z_cont = np.asarray(multihost_utils.process_allgather(s.Z_corr,
+                                                          tiled=True))
+    loaded = load_state(os.path.join(tmp, "ckpt_1.npz"))
+    shardings = jax.tree.map(
+        lambda spec: NamedSharding(mesh, spec), engine.state_specs,
+        is_leaf=lambda x: isinstance(x, PartitionSpec))
+    rs = jax.device_put(loaded, shardings)
+    assert int(rs.n_rounds) == 1
+    for i in range(2, 4):
+        rs = engine.iter_fn(rs, data, params)
+    Z_res = np.asarray(multihost_utils.process_allgather(rs.Z_corr,
+                                                         tiled=True))
+    np.testing.assert_array_equal(Z_cont, Z_res)
+    if pid == 0:
+        print("checkpoint+resume across 2 processes: bitwise OK")
     if pid == 0:
         np.save(os.path.join(tmp, "multi.npy"), Z_corr)
         obj = np.asarray(state.obj_harmony[: int(state.n_harmony)])
