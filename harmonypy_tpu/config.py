@@ -27,6 +27,20 @@ def cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
+CELL_TILE_M = 64  # mean cells per (capacity tile, block) in the iid partition
+
+
+def cell_tile_geom(nb: int) -> tuple[int, int]:
+    """(tile size G, per-(tile, block) capacity cap) for the per-cell iid
+    block partition (ops/partition.py iid_blocks). Mean occupancy of a
+    (tile, block) cell group is m = G/nb = CELL_TILE_M with sigma
+    sqrt(m(1-1/nb)) <= 8; cap = m + ceil(4 sqrt(m)) is a >=4-sigma bound, so
+    overflow (a skipped update for the overflowing cells that round) has
+    probability ~2e-5 per tile-block."""
+    m = CELL_TILE_M
+    return nb * m, m + int(math.ceil(4.0 * math.sqrt(m)))
+
+
 def round_up(x: int, m: int) -> int:
     return cdiv(x, m) * m
 
@@ -134,25 +148,24 @@ class EngineConfig:
         """Rows of Phi_moe (intercept + batch levels)."""
         return self.B + 1
 
-    # Block geometry, computed per shard. With one device this reproduces the
-    # reference geometry exactly (harmony.py:474-484).
+    # Block geometry. The PARTITION of cells (or chunks) into blocks depends
+    # only on (seed, N) — see ops/partition.py — so results are device-count-
+    # invariant. The per-cell path assigns blocks iid per cell (multinomial
+    # composition noise, matching the reference's random blocks even when the
+    # input is sorted by batch) with a per-tile capacity rule that gives the
+    # static per-shard width below; the fused paths stripe CHUNKS.
     @property
     def n_blocks(self) -> int:
         return int(math.ceil(1.0 / self.block_size))
 
     @property
-    def cells_per_block(self) -> int:
-        return int(self.N_local * self.block_size)
-
-    @property
-    def last_block(self) -> int:
-        """Size of the final block (takes the remainder)."""
-        return self.N_local - (self.n_blocks - 1) * self.cells_per_block
-
-    @property
-    def block_width(self) -> int:
-        """Static width of the per-block work arrays (masked to actual size)."""
-        return max(self.cells_per_block, self.last_block)
+    def cell_block_width(self) -> int:
+        """Static per-shard width of the per-cell E-step's block work arrays
+        (sentinel-masked to the actual per-block count): a contiguous shard
+        intersects at most cdiv(N_local, G) + 1 capacity tiles, each holding
+        at most `cap` cells of one block."""
+        G, cap = cell_tile_geom(self.n_blocks)
+        return min(self.N_local, (cdiv(self.N_local, G) + 1) * cap)
 
     # History buffer sizes (ring buffers carried in the state pytree).
     @property
@@ -176,8 +189,6 @@ class EngineConfig:
         assert self.N >= 1 and self.d >= 1 and self.K >= 1 and self.B >= 1
         assert self.n_devices >= 1
         assert 0.0 < self.block_size <= 1.0
-        # Last block must be non-negative; guaranteed by n_blocks = ceil(1/bs).
-        assert self.last_block >= 0, (self.N_local, self.n_blocks, self.cells_per_block)
         assert not (self.use_pallas and self.use_fused_xla), self
         if self.use_pallas:
             assert pallas_supported(self.N, self.n_devices, self.block_size,
@@ -187,14 +198,17 @@ class EngineConfig:
                                      self.chunk_size), self
 
 
-def fused_geometry_ok(N: int, n_devices: int, block_size: float = 0.05,
+def fused_geometry_ok(N: int, n_devices: int = 1, block_size: float = 0.05,
                       chunk_size: int = 2048) -> bool:
-    """Whether chunk-granular blocks work for a problem: every shard must
-    have at least one real chunk per update block."""
-    per_dev = round_up(cdiv(N, n_devices), chunk_size) + chunk_size
-    n_chunks = per_dev // chunk_size - 1
+    """Whether chunk-granular blocks are a sound approximation for a problem:
+    there must be at least one real chunk per update block GLOBALLY (fewer
+    would collapse several 5%-blocks into one giant update). Deliberately
+    independent of the device count — the fused-path decision is part of the
+    algorithm, and a mesh-dependent decision would break the device-count-
+    invariance contract (ops/partition.py)."""
+    del n_devices  # kept in the signature for call-site compatibility
     n_blocks = int(math.ceil(1.0 / block_size))
-    return int(n_chunks * block_size) >= 1 and n_chunks >= n_blocks
+    return cdiv(N, chunk_size) >= n_blocks
 
 
 def pallas_supported(N: int, n_devices: int, block_size: float = 0.05,

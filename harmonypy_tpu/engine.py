@@ -35,8 +35,10 @@ from .ops.kmeans import kmeans_init
 from .ops.update_r import compute_scale_dist, update_r
 from .ops.ridge import moe_correct_ridge
 from .ops.objective import compute_objective_terms, cross_entropy_from_stats
-from .ops.pallas.update_r_fused import (
-    block_removal, build_slots, chunk_stats, fused_update_r, pallas_geometry)
+from .ops.pallas.update_r_fused import chunk_stats, fused_update_r
+from .ops.partition import (
+    block_ranks, frame_rows, frame_sum, global_slot_table, partition_geometry,
+    shard_chunk_gids, shard_slot_tables, stripe_blocks)
 from .ops.update_r_fused_xla import fused_update_r_xla
 
 AXIS = "cells"
@@ -167,7 +169,7 @@ class HarmonyEngine:
 
             key, k_init = jax.random.split(key)
             # k-means++ + Lloyd centroids (replaces sklearn, harmony.py:366-374)
-            Y = kmeans_init(k_init, Z_cos, mask, cfg, AXIS)
+            Y = kmeans_init(k_init, Z_cos, cfg, AXIS)
             Y = l2_normalize_cols(Y)                 # harmony.py:377
 
             dist_mat = 2.0 * (1.0 - Y.T @ Z_cos)     # harmony.py:380
@@ -180,25 +182,51 @@ class HarmonyEngine:
                 # an fp32 pre-cast cache instead and use the pre-cast values.
                 R = R.astype(cfg.r_jnp_dtype).astype(jnp.float32)
 
-            # Batch diversity statistics (harmony.py:388-389).
-            E = jnp.outer(lax.psum(jnp.sum(R, axis=1), AXIS), params.Pr_b)
-            O = lax.psum(R @ Phi.T, AXIS)
+            # Batch diversity statistics (harmony.py:388-389) and the first
+            # objective. On the fused paths every cross-cell reduction goes
+            # through the fixed global chunk frame so the values are bitwise
+            # device-count-invariant (ops/partition.py).
+            if cfg.fused_estep:
+                geom = partition_geometry(cfg)
+                gids = shard_chunk_gids(geom, AXIS)
+                cache = chunk_stats(R, Phi, cfg)     # fp32, pre-cast values
+                tot = frame_sum(cache[: geom.nc_cap], gids, geom.NC_fixed,
+                                AXIS)                # (K, B+1)
+                E = tot[:, 0:1] * params.Pr_b[None, :]
+                O = tot[:, 1:]
+                CH, nc1 = geom.CH, geom.nc_cap + 1
+                R3 = R.reshape(cfg.K, nc1, CH)
+                D3 = dist_mat.reshape(cfg.K, nc1, CH)
+                kerr_c = jnp.einsum("knc,knc->n", R3, D3)
+                ent_c = jnp.einsum("knc->n", jnp.where(
+                    R3 > 0.0, R3 * jnp.log(jnp.where(R3 > 0.0, R3, 1.0)), 0.0)
+                    * params.sigma[:, None, None])
+                nc = jnp.float32(2000.0 / cfg.N)
+                terms = (
+                    frame_sum(kerr_c[: geom.nc_cap], gids, geom.NC_fixed,
+                              AXIS) * nc,
+                    frame_sum(ent_c[: geom.nc_cap], gids, geom.NC_fixed,
+                              AXIS) * nc,
+                    cross_entropy_from_stats(O, E, params, cfg))
+            else:
+                E = jnp.outer(lax.psum(jnp.sum(R, axis=1), AXIS), params.Pr_b)
+                O = lax.psum(R @ Phi.T, AXIS)
+                cache = jnp.zeros((1, 1, 1), jnp.float32)
+                terms = compute_objective_terms(R, dist_mat, O, E, Phi,
+                                                params, cfg, AXIS)
 
             hist = empty_histories(cfg)
             kh = self._objective_append(
                 (hist["obj_kmeans"], hist["obj_dist"], hist["obj_entropy"],
-                 hist["obj_cross"], hist["n_kmeans"]),
-                compute_objective_terms(R, dist_mat, O, E, Phi, params, cfg,
-                                        AXIS))
+                 hist["obj_cross"], hist["n_kmeans"]), terms)
             obj_kmeans, obj_dist, obj_entropy, obj_cross, n_kmeans = kh
             # harmony.py:392 — first harmony objective = first kmeans objective
             obj_harmony, n_harmony = append(
                 hist["obj_harmony"], hist["n_harmony"], obj_kmeans[n_kmeans - 1])
 
-            # Seed the fused E-step's per-chunk cache once; the kernels keep
-            # it current from here on (R never changes outside the E-step).
-            cache = (chunk_stats(R, Phi, cfg) if cfg.fused_estep
-                     else jnp.zeros((1, 1, 1), jnp.float32))
+            # The fused E-step's per-chunk cache was seeded above; the
+            # kernels keep it current from here on (R never changes outside
+            # the E-step).
             R = R.astype(cfg.r_jnp_dtype)
 
             return HarmonyState(
@@ -258,7 +286,8 @@ class HarmonyEngine:
         stats cache that replaces the removal pass, so each round reads
         Z_cos once and writes R once — nothing else at K x N scale."""
         cfg = self.cfg
-        geom = pallas_geometry(cfg)
+        geom = partition_geometry(cfg)
+        gids = shard_chunk_gids(geom, AXIS)
 
         class C(NamedTuple):
             R: jax.Array
@@ -277,26 +306,42 @@ class HarmonyEngine:
             converged: jax.Array
 
         def body(c: C) -> C:
-            Y = l2_normalize_cols(lax.psum(c.Ysum, AXIS))  # harmony.py:443-444
+            # Pallas returns a shard-local Ysum (psum is an identity at its
+            # only mesh size, 1); the XLA path's Ysum is already the global
+            # fixed-frame reduction.
+            Ysum = lax.psum(c.Ysum, AXIS) if cfg.use_pallas else c.Ysum
+            Y = l2_normalize_cols(Ysum)                # harmony.py:443-444
             key, k_r = jax.random.split(c.key)
-            # Same slot table on every shard; each shard applies it to its
-            # own chunks, so global block b = union of the shards' b-blocks.
-            slots = build_slots(k_r, geom)
-            removal = lax.psum(block_removal(c.cache, slots, geom), AXIS)
+            # GLOBAL stripe partition of chunks into blocks — a function of
+            # (key, N) only, so results are device-count-invariant
+            # (ops/partition.py). Each shard derives its own slot table from
+            # the shared assignment.
+            blocks = stripe_blocks(k_r, geom.NC_fixed, geom.L, geom.nb)
+            ranks = block_ranks(blocks, geom.NC_fixed, geom.nb, geom.J_fix)
+            slots, granks = shard_slot_tables(blocks, ranks, geom, AXIS)
+            # Per-block removal stats from the previous round's cache,
+            # reduced through the fixed global frame (bitwise invariant).
+            cache_glob = frame_rows(c.cache[: geom.nc_cap], gids,
+                                    geom.NC_fixed, AXIS)
+            gtbl = global_slot_table(blocks, ranks, geom)    # (nb, J_fix)
+            removal = jnp.sum(cache_glob[gtbl], axis=1)      # (nb, K, B+1)
             if cfg.use_pallas:
                 # Single chip: O/E come back globally exact from the kernel.
                 R, O, E, Ysum, cache, kerr, ent = fused_update_r(
-                    slots, removal, state.Z_cos, Phi, Y, params.sigma,
-                    params.theta, params.Pr_b, c.O, c.E, cfg,
+                    slots.reshape(-1), removal, state.Z_cos, Phi, Y,
+                    params.sigma, params.theta, params.Pr_b, c.O, c.E, cfg,
                     interpret=self._pallas_interpret)
+                kerr = lax.psum(kerr, AXIS)
+                ent = lax.psum(ent, AXIS)
             else:
-                # Any mesh: per-block psums keep O/E exact across shards.
+                # Any mesh: fixed-frame reductions keep O/E/Ysum and the
+                # objective bitwise device-count-invariant.
                 R, O, E, Ysum, cache, kerr, ent = fused_update_r_xla(
-                    slots, removal, state.Z_cos, Phi, Y, params.sigma,
-                    params.theta, params.Pr_b, c.O, c.E, cfg, AXIS)
+                    slots, granks, removal, state.Z_cos, Phi, Y,
+                    params.sigma, params.theta, params.Pr_b, c.O, c.E, cfg,
+                    AXIS)
             nc = jnp.float32(2000.0 / cfg.N)
-            terms = (lax.psum(kerr, AXIS) * nc,
-                     lax.psum(ent, AXIS) * nc,
+            terms = (kerr * nc, ent * nc,
                      cross_entropy_from_stats(O, E, params, cfg))
             hist = self._objective_append(
                 (c.obj_kmeans, c.obj_dist, c.obj_entropy, c.obj_cross,
@@ -312,11 +357,22 @@ class HarmonyEngine:
             return jnp.logical_and(c.i < cfg.max_iter_kmeans,
                                    jnp.logical_not(c.converged))
 
-        carry = C(
-            R=state.R,
+        if cfg.use_pallas:
             # Shard-local partial sum — the loop body psums it, same as the
             # kernel-produced Ysum of every subsequent round.
-            Ysum=state.Z_cos @ state.R.T,
+            ysum0 = state.Z_cos @ state.R.T
+        else:
+            # Fixed-frame global reduction, matching every subsequent
+            # round's Ysum (bitwise device-count-invariant).
+            CH, nc1 = geom.CH, geom.nc_cap + 1
+            y_c = jnp.einsum(
+                "dnc,knc->ndk",
+                state.Z_cos.reshape(cfg.d, nc1, CH),
+                state.R.astype(jnp.float32).reshape(cfg.K, nc1, CH))
+            ysum0 = frame_sum(y_c[: geom.nc_cap], gids, geom.NC_fixed, AXIS)
+        carry = C(
+            R=state.R,
+            Ysum=ysum0,
             Y=state.Y,
             # Per-chunk stats carried in the state: seeded once at init and
             # kept current by the kernels (recomputing here would re-tile the

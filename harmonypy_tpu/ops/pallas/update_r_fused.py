@@ -64,44 +64,26 @@ CLAMP = 1e-8
 
 class PallasGeometry(NamedTuple):
     n_chunks: int        # real (shuffled) chunks, excluding the dummy
-    chunks_per_block: int
-    last_block_chunks: int
-    J: int               # grid chunk-steps per block (max, padded with dummy)
+    J: int               # grid chunk-steps per block (static slot width)
     n_blocks: int
     chunk_size: int
 
 
 def pallas_geometry(cfg: EngineConfig) -> PallasGeometry:
+    """Kernel grid geometry, derived from the GLOBAL stripe partition
+    (ops/partition.py) so the Pallas path shares the same device-count-
+    invariant block assignment as the fused XLA path. At the kernel's only
+    mesh size (1 device) J = J_fix + 1: every block's slot list ends with at
+    least one dummy sentinel, so the dummy chunk of the write-only R output
+    and its cache row are initialized by the kernel itself each round (the
+    alternative — pinning them afterwards with a dynamic_update_slice —
+    lowers to a full copy of R; measured 1.7 ms per k-means round at 858k
+    cells)."""
+    from ..partition import partition_geometry
     CH = cfg.chunk_size
     assert cfg.N_local % CH == 0, (cfg.N_local, CH)
-    n_chunks = cfg.N_local // CH - 1  # last chunk is the dummy
-    nb = cfg.n_blocks
-    cpb = int(n_chunks * cfg.block_size)
-    last = n_chunks - (nb - 1) * cpb
-    # J includes one ALWAYS-dummy trailing slot per block, so every block's
-    # grid writes the dummy chunk (with zeros). This guarantees the dummy
-    # chunk of the write-only R output and its cache row are initialized by
-    # the kernel itself; the alternative — pinning them afterwards with a
-    # dynamic_update_slice — lowers to a full copy of R (measured 1.7 ms per
-    # k-means round at 858k cells).
-    return PallasGeometry(n_chunks, cpb, last, max(cpb, last) + 1, nb, CH)
-
-
-def build_slots(key, geom: PallasGeometry) -> jnp.ndarray:
-    """Shuffled chunk->grid-slot table, (n_blocks * J,) int32.
-
-    Block b's real chunks occupy slots [b*J, b*J + size_b); remaining slots
-    point at the dummy chunk (id == n_chunks). Mirrors the reference's
-    "equal blocks, last takes the remainder" geometry (harmony.py:474-484)
-    at chunk granularity."""
-    perm = jax.random.permutation(key, geom.n_chunks).astype(jnp.int32)
-    nb, J, cpb = geom.n_blocks, geom.J, geom.chunks_per_block
-    slots = jnp.full((nb, J), geom.n_chunks, jnp.int32)
-    i = jnp.arange(geom.n_chunks, dtype=jnp.int32)
-    b_ids = jnp.minimum(i // cpb, nb - 1)
-    j_ids = i - b_ids * cpb
-    slots = slots.at[b_ids, j_ids].set(perm)
-    return slots.reshape(-1)
+    g = partition_geometry(cfg)
+    return PallasGeometry(g.nc_cap, g.J_shard, g.nb, CH)
 
 
 def chunk_stats(R, Phi, cfg: EngineConfig) -> jnp.ndarray:
@@ -122,13 +104,6 @@ def chunk_stats(R, Phi, cfg: EngineConfig) -> jnp.ndarray:
     parts = [jnp.sum(R3, axis=2)]                              # (K, nc1)
     parts += [jnp.sum(R3 * P3[b][None, :, :], axis=2) for b in range(cfg.B)]
     return jnp.stack(parts, axis=2).transpose(1, 0, 2)         # (nc1, K, B+1)
-
-
-def block_removal(cache, slots, geom: PallasGeometry) -> jnp.ndarray:
-    """Per-block removal stats (n_blocks, K, B+1) = sum of the block's
-    chunks' cached stats (dummy rows are zero)."""
-    g = cache[slots]                                            # (nb*J, K, B1)
-    return g.reshape(geom.n_blocks, geom.J, *cache.shape[1:]).sum(axis=1)
 
 
 def _kernel(slots_ref, Zc, Phi, Y, sigma, theta, prb, O_in, E_in, rem,
@@ -212,7 +187,9 @@ def fused_update_r(slots, removal, Z_cos, Phi, Y, sigma, theta, Pr_b, O, E,
 
     Z_cos: (d, N_alloc), Phi: (B, N_alloc) where N_alloc = cfg.N_local
     includes the trailing dummy chunk. Y: (d, K). sigma: (K,), theta/Pr_b:
-    (B,). O/E: (K, B). slots: build_slots(...). removal: block_removal(...).
+    (B,). O/E: (K, B). slots: the flattened (nb * J,) per-shard slot table
+    from partition.shard_slot_tables (sentinel == dummy chunk id). removal:
+    (nb, K, B+1) per-block stats from the engine's global cache frame.
     """
     geom = pallas_geometry(cfg)
     K, d, B, CH = cfg.K, cfg.d, cfg.B, geom.chunk_size

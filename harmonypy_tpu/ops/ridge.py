@@ -29,6 +29,7 @@ from jax import lax
 
 from ..config import EngineConfig
 from ..state import HarmonyParams
+from .partition import frame_sum, partition_geometry, shard_chunk_gids
 
 # Cap per-chunk stacked-feature temporaries at ~256 MB of float32.
 _CHUNK_BUDGET_ELEMS = 64 * 1024 * 1024
@@ -37,6 +38,30 @@ _CHUNK_BUDGET_ELEMS = 64 * 1024 * 1024
 def _col_chunk(B1: int, d: int) -> int:
     rows = B1 * (B1 + d)
     return max(65536, (_CHUNK_BUDGET_ELEMS // rows) // 8192 * 8192)
+
+
+def _normal_eq_framed(A, Z_orig, R, cfg: EngineConfig, axis_name):
+    """Normal equations accumulated per chunk and reduced through the fixed
+    global frame (ops/partition.py): bitwise device-count-invariant. Used on
+    the fused (chunk-padded) layout; FLOPs match the stacked-feature GEMM
+    build, executed as one (B1*(B1+d), CH) x (CH, K) GEMM per chunk."""
+    geom = partition_geometry(cfg)
+    K, B1, d, CH = cfg.K, cfg.B1, cfg.d, geom.CH
+    nc1 = geom.nc_cap + 1
+
+    def body(carry, j):
+        z0 = jnp.int32(0)
+        a = lax.dynamic_slice(A, (z0, j * CH), (B1, CH))
+        z = lax.dynamic_slice(Z_orig, (z0, j * CH), (d, CH))
+        r = lax.dynamic_slice(R, (z0, j * CH), (K, CH)).astype(jnp.float32)
+        F = jnp.concatenate(
+            [(a[:, None, :] * a[None, :, :]).reshape(B1 * B1, CH),
+             (a[:, None, :] * z[None, :, :]).reshape(B1 * d, CH)], axis=0)
+        return carry, F @ r.T                                   # (B1(B1+d), K)
+
+    _, S_c = lax.scan(body, None, jnp.arange(nc1, dtype=jnp.int32))
+    gids = shard_chunk_gids(geom, axis_name)
+    return frame_sum(S_c[: geom.nc_cap], gids, geom.NC_fixed, axis_name)
 
 
 def moe_correct_ridge(Z_orig, Phi, R, E, params: HarmonyParams,
@@ -59,14 +84,19 @@ def moe_correct_ridge(Z_orig, Phi, R, E, params: HarmonyParams,
     # feature matrix is materialized only one chunk at a time (it would be
     # B1*(B1+d) x N — gigabytes at millions of cells).
     CC = _col_chunk(B1, d)
-    S = jnp.zeros((B1 * (B1 + d), K), jnp.float32)
-    for lo in range(0, Nl, CC):
-        hi = min(lo + CC, Nl)
-        Ac, Zc, Rc = A[:, lo:hi], Z_orig[:, lo:hi], R[:, lo:hi]
-        A2 = (Ac[:, None, :] * Ac[None, :, :]).reshape(B1 * B1, hi - lo)
-        ZA = (Ac[:, None, :] * Zc[None, :, :]).reshape(B1 * d, hi - lo)
-        S = S + jnp.concatenate([A2, ZA], axis=0) @ Rc.T
-    S = lax.psum(S, axis_name)                                  # (B1(B1+d), K)
+    if cfg.fused_estep:
+        # Chunk-padded layout: per-chunk partials + fixed-frame reduction,
+        # bitwise identical on any mesh (the invariance contract).
+        S = _normal_eq_framed(A, Z_orig, R, cfg, axis_name)
+    else:
+        S = jnp.zeros((B1 * (B1 + d), K), jnp.float32)
+        for lo in range(0, Nl, CC):
+            hi = min(lo + CC, Nl)
+            Ac, Zc, Rc = A[:, lo:hi], Z_orig[:, lo:hi], R[:, lo:hi]
+            A2 = (Ac[:, None, :] * Ac[None, :, :]).reshape(B1 * B1, hi - lo)
+            ZA = (Ac[:, None, :] * Zc[None, :, :]).reshape(B1 * d, hi - lo)
+            S = S + jnp.concatenate([A2, ZA], axis=0) @ Rc.T
+        S = lax.psum(S, axis_name)                              # (B1(B1+d), K)
     cov = jnp.transpose(S[: B1 * B1].reshape(B1, B1, K), (2, 0, 1))
     rhs = jnp.transpose(S[B1 * B1:].reshape(B1, d, K), (2, 0, 1))
 

@@ -3,39 +3,43 @@
 Mirrors reference update_R (harmony.py:464-513):
 
   1. scale_dist = softmax over clusters of (-dist / sigma)  (:466-468)
-  2. random permutation of cells, split into ceil(1/block_size) blocks of
-     floor(N * block_size) cells, last block takes the remainder (:471-484)
+  2. random partition of cells into ceil(1/block_size) blocks (:471-484)
   3. per block, sequentially: remove block cells from the global E/O stats,
      recompute the block's R with the diversity reweighting
      (E/(O+E))^theta, clamp chain at 1e-8, re-add the block (:491-507)
 
 TPU-first design decisions:
-  - The permutation is generated PER SHARD (each device partitions its own
-    cells into n_blocks local blocks); global block b is the union of the
-    per-shard blocks b. A random equal-split partition has the same
-    distribution as the reference's global permutation split, and it keeps
-    every block's work spread evenly across the mesh. The only cross-device
-    traffic per block is the psum of the (K, B) O/E deltas — the C19
-    reduction points from SURVEY.md.
-  - Blocks are a lax.scan over a STATIC block width (max block size), with a
-    validity mask reproducing the exact first-(n_blocks-1)-blocks-equal /
-    last-block-remainder geometry. Gathers/scatters stay shard-local.
+  - The partition is the GLOBAL iid construction of ops/partition.py
+    (iid_blocks): cell g's block is an iid-uniform draw — a function of
+    (seed, g) only, so the partition is identical on any mesh size, and the
+    per-block batch-composition noise is the reference's multinomial even
+    when the input is sorted by batch (a balanced/striped partition would be
+    batch-stratified there, which measurably deepens convergence). Each
+    shard applies the global assignment to the cells it owns; a per-tile
+    capacity rule (config.cell_tile_geom) bounds the static work width.
+  - Blocks are a lax.scan over the per-shard (nb, W) slot table; sentinel
+    entries (== N_local) mark unfilled slots and are masked/dropped.
+    Gathers/scatters stay shard-local; the only cross-device traffic per
+    block is the psum of the (K, B) O/E deltas — the C19 reduction points
+    from SURVEY.md. (Those psums reduce per-SHARD partials, so this path is
+    reduction-order-tight across meshes, ~1e-5, not bitwise; the fused paths
+    add fixed-frame reductions for full bitwise invariance.)
   - Padded cells (N not divisible by device count) carry R == 0 and Phi == 0
     and are masked out of every reduction.
 
 With a single device this reproduces the reference semantics exactly (same
-block geometry, same update equations; the permutation stream differs, which
-the reference's own contract allows — see SURVEY.md §2 numerics notes).
+number of near-equal blocks, same update equations; the permutation stream
+differs, which the reference's own contract allows — see SURVEY.md §2).
 """
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 from jax import lax
 
-from ..config import EngineConfig
+from ..config import EngineConfig, round_up
 from ..state import HarmonyParams
+from .partition import group_by_block, iid_blocks
 
 CLAMP = 1e-8
 
@@ -58,6 +62,17 @@ def _diversity_weights(O, E, theta):
     return jnp.exp(theta[None, :] * jnp.log(ratio))
 
 
+def cell_slot_table(key, cfg: EngineConfig, axis_name):
+    """(nb, W) per-shard table of local cell ids per block (sentinel ==
+    N_local), from the global iid assignment. Device-count-invariant."""
+    Nl, nb = cfg.N_local, cfg.n_blocks
+    L = max(round_up(cfg.N, nb), cfg.n_devices * Nl)
+    blocks = iid_blocks(key, cfg.N, L, nb)           # cells >= N -> sentinel
+    lo = lax.axis_index(axis_name) * Nl
+    myb = lax.dynamic_slice(blocks, (lo,), (Nl,))
+    return group_by_block(myb, nb, cfg.cell_block_width, fill=Nl)
+
+
 def update_r(key, R, dist_mat, Phi, E, O, params: HarmonyParams,
              cfg: EngineConfig, mask, axis_name):
     """One full E-step. Returns (R, E, O) updated.
@@ -66,26 +81,13 @@ def update_r(key, R, dist_mat, Phi, E, O, params: HarmonyParams,
     E, O: (K, B) replicated; mask: (N_local,) float {0,1}.
     """
     Nl = cfg.N_local
-    cpb, nb, W = cfg.cells_per_block, cfg.n_blocks, cfg.block_width
     scale = compute_scale_dist(dist_mat, params.sigma)
+    slot_table = cell_slot_table(key, cfg, axis_name)          # (nb, W)
 
-    # Per-shard random partition of local cells into blocks.
-    shard_key = jax.random.fold_in(key, lax.axis_index(axis_name))
-    perm = jax.random.permutation(shard_key, Nl)
-    # Pad the index stream so every block slice has static width W; sentinel Nl
-    # marks "no cell" and is dropped by the masks / scatter mode below.
-    pad = (nb - 1) * cpb + W - Nl
-    perm_pad = jnp.concatenate([perm, jnp.full((pad,), Nl, perm.dtype)])
-
-    offsets = jnp.arange(W, dtype=jnp.int32)
-    last_size = jnp.int32(cfg.last_block)
-
-    def block_step(carry, b):
+    def block_step(carry, idx):
         R, E, O = carry
-        idx = lax.dynamic_slice(perm_pad, (b * cpb,), (W,))
-        size_b = jnp.where(b == nb - 1, last_size, jnp.int32(cpb))
         idx_c = jnp.minimum(idx, Nl - 1)
-        valid = (offsets < size_b) & (idx < Nl)
+        valid = idx < Nl
         live = valid.astype(jnp.float32) * mask[idx_c]           # (W,)
 
         Rb = R[:, idx_c].astype(jnp.float32) * live[None, :]     # (K, W)
@@ -118,7 +120,5 @@ def update_r(key, R, dist_mat, Phi, E, O, params: HarmonyParams,
         R = R.at[:, scatter_idx].set(R_store, mode="drop")
         return (R, E, O), None
 
-    (R, E, O), _ = lax.scan(
-        block_step, (R, E, O), jnp.arange(nb, dtype=jnp.int32)
-    )
+    (R, E, O), _ = lax.scan(block_step, (R, E, O), slot_table)
     return R, E, O

@@ -1,8 +1,7 @@
 """Fused chunk-granular E-step in pure XLA — the multi-device counterpart of
 the single-chip Pallas kernel (ops/pallas/update_r_fused.py).
 
-Same design, same geometry (pallas_geometry / build_slots / chunk_stats /
-block_removal are shared):
+Same design, same global chunk partition (ops/partition.py):
 
   - cells grouped into contiguous chunks; the random block partition shuffles
     chunk ids, so gathers/scatters move whole (K, CH) slabs (contiguous DMA)
@@ -12,16 +11,20 @@ block_removal are shared):
   - the next round's centroid numerator Z_cos R^T and the kmeans-error /
     entropy objective terms accumulate on the fly.
 
-What the Pallas kernel cannot do and this one adds: cross-device execution.
-Every shard holds its own chunks; global block b is the union of the shards'
-slot-b chunks, and the two (K,)/(K, B) psums per block keep the replicated
-O/E statistics globally exact through the sequential block dependency
-(reference harmony.py:491-507). Per-round collective volume:
-n_blocks * K * (B + 1) floats — tiny next to the compute.
+What the Pallas kernel cannot do and this one adds: cross-device execution
+with DEVICE-COUNT-INVARIANT numerics. The block partition comes from the
+global stripe construction, and every cross-cell statistic (the per-block
+O/E re-adds inside the scan, the centroid numerator, the objective terms) is
+accumulated per chunk and reduced through the fixed global frame
+(partition.frame_sum): each frame row is owned by exactly one shard, so the
+psum adds exact zeros, and the final reduction shape never depends on the
+mesh — results are bit-identical on 1, 2, or N devices. Per-round collective
+volume: n_blocks * J_fix * K * (B + 1) floats for the block stats plus one
+(NC_fixed, d, K) frame — tiny next to the compute.
 
 Semantics match the reference E-step (harmony.py:464-513) at chunk
-granularity, which the reference's reproducibility contract allows (the block
-partition is random; see SURVEY.md §2).
+granularity, which the reference's reproducibility contract allows (the
+block partition is random; see SURVEY.md §2).
 """
 
 from __future__ import annotations
@@ -30,37 +33,36 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..config import EngineConfig
-from .pallas.update_r_fused import PallasGeometry, pallas_geometry
+from .partition import frame_sum, partition_geometry, shard_chunk_gids
 
 CLAMP = 1e-8
 
 
-def fused_update_r_xla(slots, removal, Z_cos, Phi, Y, sigma, theta, Pr_b,
-                       O, E, cfg: EngineConfig, axis_name):
+def fused_update_r_xla(slots, granks, removal, Z_cos, Phi, Y, sigma, theta,
+                       Pr_b, O, E, cfg: EngineConfig, axis_name):
     """One full E-step over all blocks. Runs under shard_map.
 
-    slots: (nb * J,) shuffled chunk->slot table (identical on every shard;
-    each shard applies it to its own local chunks). removal: (nb, K, B+1)
-    per-block stats to remove, already psum'd across shards. Z_cos/Phi:
-    (d|B, N_alloc) shard-local with the trailing dummy chunk. O/E: (K, B)
-    replicated. Returns (R, O, E, Ysum, cache, kerr, ent) with R/Ysum/cache/
-    kerr/ent shard-local and O/E globally consistent.
+    slots/granks: (nb, J_shard) per-shard tables from
+    partition.shard_slot_tables (slots: local chunk ids, sentinel = dummy
+    chunk; granks: global within-block ranks, sentinel = J_fix). removal:
+    (nb, K, B+1) replicated per-block stats to remove, already reduced
+    through the global frame. Z_cos/Phi: (d|B, N_local) shard-local with the
+    trailing dummy chunk. O/E: (K, B) replicated.
+
+    Returns (R, O, E, Ysum, cache, kerr, ent) with R/cache shard-local and
+    O/E/Ysum/kerr/ent REPLICATED (already globally reduced, bitwise
+    device-count-invariant).
     """
-    geom: PallasGeometry = pallas_geometry(cfg)
-    K, d, B, CH = cfg.K, cfg.d, cfg.B, geom.chunk_size
-    nb, nc1 = geom.n_blocks, geom.n_chunks + 1
-    # geom.J includes a trailing ALWAYS-dummy slot that only the Pallas
-    # kernel needs (to initialize its write-only outputs); here R3/cache
-    # start as zeros, so the dummy visit would be pure waste — drop it.
-    J = geom.J - 1
+    geom = partition_geometry(cfg)
+    K, d, B, CH = cfg.K, cfg.d, cfg.B, geom.CH
+    Js, nc1 = geom.J_shard, geom.nc_cap + 1
 
     Z3 = Z_cos.reshape(d, nc1, CH)
     P3 = Phi.reshape(B, nc1, CH)
-    slots2 = slots.reshape(nb, geom.J)[:, :J]
 
     def body(carry, inp):
-        O, E, Ysum, kerr, ent, R3, cache = carry
-        slots_b, rem_b = inp                                   # (J,), (K, B+1)
+        O, E, R3, cache, ybuf, kbuf = carry
+        slots_b, granks_b, rem_b = inp        # (Js,), (Js,), (K, B+1)
 
         # Remove the block from the global stats (harmony.py:491-492) and fix
         # its diversity weights (harmony.py:495-499).
@@ -70,44 +72,53 @@ def fused_update_r_xla(slots, removal, Z_cos, Phi, Y, sigma, theta, Pr_b,
         ratio = jnp.clip(E / oe, CLAMP, 1.0)
         wdiv = jnp.exp(theta[None, :] * jnp.log(ratio))        # (K, B)
 
-        zb = Z3[:, slots_b, :].reshape(d, J * CH)
-        pb = P3[:, slots_b, :].reshape(B, J * CH)
-        dist = 2.0 * (1.0 - Y.T @ zb)                          # (K, J*CH)
+        zb = Z3[:, slots_b, :]                                 # (d, Js, CH)
+        pb = P3[:, slots_b, :]                                 # (B, Js, CH)
+        dist = 2.0 * (1.0 - Y.T @ zb.reshape(d, Js * CH))      # (K, Js*CH)
         s = jnp.exp(-dist / sigma[:, None])
         scale = s / jnp.sum(s, axis=0, keepdims=True)
-        r = scale * (wdiv @ pb)                                # dummy cols -> 0
+        r = scale * (wdiv @ pb.reshape(B, Js * CH))            # dummy cols -> 0
         r = r / jnp.maximum(jnp.sum(r, axis=0, keepdims=True), CLAMP)
 
-        # Per-chunk stats; re-add the block globally (harmony.py:506-507).
-        r3 = r.reshape(K, J, CH)
-        p3 = pb.reshape(B, J, CH)
-        sum_c = jnp.sum(r3, axis=2)                            # (K, J)
-        o_c = jnp.einsum("kjc,bjc->jkb", r3, p3)               # (J, K, B)
-        sum_r = lax.psum(jnp.sum(sum_c, axis=1), axis_name)    # (K,)
-        o_r = lax.psum(jnp.sum(o_c, axis=0), axis_name)        # (K, B)
-        E = E + sum_r[:, None] * Pr_b[None, :]
-        O = O + o_r
+        # Per-chunk statistics — fixed (.., CH) shapes on every mesh.
+        r3 = r.reshape(K, Js, CH)
+        dist3 = dist.reshape(K, Js, CH)
+        sum_c = jnp.einsum("kjc->jk", r3)                      # (Js, K)
+        o_c = jnp.einsum("kjc,bjc->jkb", r3, pb)               # (Js, K, B)
+        stats = jnp.concatenate([sum_c[:, :, None], o_c], axis=2)
 
-        Ysum = Ysum + zb @ r.T                                 # (d, K)
-        kerr = kerr + jnp.sum(r * dist)
-        ent = ent + jnp.sum(
-            jnp.where(r > 0.0, r * jnp.log(jnp.where(r > 0.0, r, 1.0)), 0.0)
-            * sigma[:, None])
+        # Re-add the block globally (harmony.py:506-507) through the fixed
+        # rank frame: bitwise identical at any device count.
+        add = frame_sum(stats, granks_b, geom.J_fix, axis_name)  # (K, B+1)
+        E = E + add[:, 0:1] * Pr_b[None, :]
+        O = O + add[:, 1:]
+
+        # Per-chunk centroid-numerator and objective partials.
+        y_c = jnp.einsum("djc,kjc->jdk", zb, r3)               # (Js, d, K)
+        kerr_c = jnp.einsum("kjc,kjc->j", r3, dist3)           # (Js,)
+        ent_c = jnp.einsum("kjc->j", jnp.where(
+            r3 > 0.0, r3 * jnp.log(jnp.where(r3 > 0.0, r3, 1.0)), 0.0)
+            * sigma[:, None, None])                            # (Js,)
 
         # Write-back: every real chunk is written exactly once per round;
-        # dummy-slot writes all carry zeros, so duplicates are harmless.
+        # sentinel (dummy) slots all carry zeros, so duplicates are harmless.
         # Storage cast only — all statistics above used the fp32 values.
         R3 = R3.at[:, slots_b, :].set(r3.astype(R3.dtype))
-        stats = jnp.concatenate([sum_c.T[:, :, None],
-                                 o_c], axis=2)                 # (J, K, B+1)
         cache = cache.at[slots_b].set(stats)
-        return (O, E, Ysum, kerr, ent, R3, cache), None
+        ybuf = ybuf.at[slots_b].set(y_c)
+        kbuf = kbuf.at[slots_b].set(jnp.stack([kerr_c, ent_c], axis=1))
+        return (O, E, R3, cache, ybuf, kbuf), None
 
     init = (O, E,
-            jnp.zeros((d, K), jnp.float32),
-            jnp.float32(0.0), jnp.float32(0.0),
             jnp.zeros((K, nc1, CH), cfg.r_jnp_dtype),
-            jnp.zeros((nc1, K, B + 1), jnp.float32))
-    (O, E, Ysum, kerr, ent, R3, cache), _ = lax.scan(
-        body, init, (slots2, removal))
-    return R3.reshape(K, nc1 * CH), O, E, Ysum, cache, kerr, ent
+            jnp.zeros((nc1, K, B + 1), jnp.float32),
+            jnp.zeros((nc1, d, K), jnp.float32),
+            jnp.zeros((nc1, 2), jnp.float32))
+    (O, E, R3, cache, ybuf, kbuf), _ = lax.scan(
+        body, init, (slots, granks, removal))
+
+    # Global fixed-frame reductions of the per-chunk buffers.
+    gids = shard_chunk_gids(geom, axis_name)
+    Ysum = frame_sum(ybuf[: geom.nc_cap], gids, geom.NC_fixed, axis_name)
+    ko = frame_sum(kbuf[: geom.nc_cap], gids, geom.NC_fixed, axis_name)
+    return (R3.reshape(K, nc1 * CH), O, E, Ysum, cache, ko[0], ko[1])

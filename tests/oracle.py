@@ -33,17 +33,20 @@ def objective_terms(R, dist, O, E, Phi, theta, sigma, N):
     return kerr * norm_const, ent * norm_const, cross * norm_const
 
 
-def update_r_blocks(R, dist, Phi, E, O, theta, sigma, Pr_b, perm, block_size):
-    """Sequential block E-step with an explicit permutation."""
+def update_r_blocks(R, dist, Phi, E, O, theta, sigma, Pr_b, perm=None,
+                    block_size=None, blocks=None):
+    """Sequential block E-step with an explicit partition: either a
+    permutation + block_size (reference equal-split geometry) or an explicit
+    list of per-block cell-index arrays."""
     K, N = R.shape
     R = R.copy(); E = E.copy(); O = O.copy()
     scale = scale_dist(dist, sigma)
-    n_blocks = int(np.ceil(1.0 / block_size))
-    cpb = int(N * block_size)
-    for blk in range(n_blocks):
-        lo = blk * cpb
-        hi = N if blk == n_blocks - 1 else (blk + 1) * cpb
-        cells = perm[lo:hi]
+    if blocks is None:
+        n_blocks = int(np.ceil(1.0 / block_size))
+        cpb = int(N * block_size)
+        blocks = [perm[b * cpb: (N if b == n_blocks - 1 else (b + 1) * cpb)]
+                  for b in range(n_blocks)]
+    for cells in blocks:
         Rb, Pb, Sb = R[:, cells], Phi[:, cells], scale[:, cells]
         E -= np.outer(Rb.sum(axis=1), Pr_b)
         O -= Rb @ Pb.T

@@ -112,12 +112,16 @@ def test_update_r_matches_oracle_single_device(block_size):
         jnp.asarray(p["Phi"]), jnp.asarray(p["E"]), jnp.asarray(p["O"]),
         params, mask)
 
-    # Same permutation the kernel derives internally (shard 0 of 1).
-    perm = np.asarray(jax.random.permutation(
-        jax.random.fold_in(key, 0), p["N"]))
+    # Same global iid partition the kernel derives internally (sentinel-
+    # blocked cells are in no list and keep their R, matching the kernel).
+    from harmonypy_tpu.ops.partition import iid_blocks
+    nb = cfg.n_blocks
+    L = max(-(-p["N"] // nb) * nb, cfg.N_local)
+    ba = np.asarray(iid_blocks(key, p["N"], L, nb))
+    block_lists = [np.where(ba[: p["N"]] == b)[0] for b in range(nb)]
     R_ref, E_ref, O_ref = oracle.update_r_blocks(
         p["R"], p["dist"], p["Phi"], p["E"], p["O"],
-        p["theta"], p["sigma"], p["Pr_b"], perm, block_size)
+        p["theta"], p["sigma"], p["Pr_b"], blocks=block_lists)
 
     np.testing.assert_allclose(np.asarray(R2), R_ref, rtol=5e-4, atol=1e-6)
     np.testing.assert_allclose(np.asarray(E2), E_ref, rtol=5e-4, atol=1e-4)
@@ -183,13 +187,12 @@ def test_kmeans_init_quality():
     mesh = make_mesh(n_devices=8)
     cfg = EngineConfig(N=400, d=5, K=K, B=2, n_devices=8)
 
-    def f(key, Z, mask):
-        return kmeans_init(key, Z, mask, cfg, AXIS)
+    def f(key, Z):
+        return kmeans_init(key, Z, cfg, AXIS)
 
     C = _run_sharded(
-        f, mesh, (P(), P(None, AXIS), P(AXIS)), P(),
-        jax.random.PRNGKey(0), jnp.asarray(Xn.T),
-        jnp.ones((400,), jnp.float32))
+        f, mesh, (P(), P(None, AXIS)), P(),
+        jax.random.PRNGKey(0), jnp.asarray(Xn.T))
     C = np.asarray(C)
     d2 = ((Xn[:, None, :] - C.T[None, :, :]) ** 2).sum(-1)
     ours = d2.min(axis=1).sum()

@@ -14,8 +14,17 @@ import jax.numpy as jnp
 import harmonypy_tpu as hm
 from harmonypy_tpu.config import EngineConfig, pallas_supported
 from harmonypy_tpu.ops.pallas.update_r_fused import (
-    block_removal, build_slots, chunk_stats, fused_update_r, pallas_geometry)
+    chunk_stats, fused_update_r, pallas_geometry)
+from harmonypy_tpu.ops.partition import (
+    partition_geometry, removal_from_cache, single_device_tables)
 from harmonypy_tpu.parallel.mesh import make_mesh
+
+
+def _tables(key, cfg):
+    """Engine-equivalent slot tables + removal builder for one device."""
+    pgeom = partition_geometry(cfg)
+    slots, granks, gtbl = single_device_tables(key, cfg)
+    return pgeom, slots, granks, gtbl
 
 
 def _chunk_problem(seed=0, K=7, d=5, B=3, CH=128, n_chunks=32,
@@ -76,16 +85,16 @@ def _oracle_chunked(p, slots_np, geom):
 def test_fused_kernel_matches_chunk_oracle(block_size):
     cfg, p = _chunk_problem(block_size=block_size)
     geom = pallas_geometry(cfg)
-    slots = build_slots(jax.random.PRNGKey(3), geom)
+    pgeom, slots, granks, gtbl = _tables(jax.random.PRNGKey(3), cfg)
     cache = chunk_stats(jnp.asarray(p["R"]), jnp.asarray(p["Phi"]), cfg)
-    removal = block_removal(cache, slots, geom)
+    removal = removal_from_cache(cache[: pgeom.nc_cap], gtbl, pgeom)
     R2, O2, E2, Ysum, cache2, kerr, ent = fused_update_r(
-        np.asarray(slots), removal, jnp.asarray(p["Zc"]),
+        np.asarray(slots).reshape(-1), removal, jnp.asarray(p["Zc"]),
         jnp.asarray(p["Phi"]), jnp.asarray(p["Y"]), jnp.asarray(p["sigma"]),
         jnp.asarray(p["theta"]), jnp.asarray(p["Pr_b"]), jnp.asarray(p["O"]),
         jnp.asarray(p["E"]), cfg, interpret=True)
 
-    slots_np = np.asarray(slots).reshape(geom.n_blocks, geom.J)
+    slots_np = np.asarray(slots)                 # (n_blocks, J)
     R_ref, E_ref, O_ref = _oracle_chunked(p, slots_np, geom)
     np.testing.assert_allclose(np.asarray(R2), R_ref, atol=2e-5)
     np.testing.assert_allclose(np.asarray(O2), O_ref, rtol=1e-4, atol=1e-3)

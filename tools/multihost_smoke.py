@@ -10,10 +10,10 @@ would:
   - the sharded Harmony fit through the engine,
   - cross-process result readback (Harmony properties allgather),
 
-and checks on process 0 that the corrected embedding matches a
+and checks on process 0 that the corrected embedding is BITWISE equal to a
 single-process 8-device run of the same problem (same algorithm, different
-process topology — collectives make the math identical up to float32
-reduction order).
+process topology — the fused path's fixed-frame reductions are order-free,
+see ops/partition.py).
 
 Usage:  python tools/multihost_smoke.py            # parent: spawns workers
         (exit 0 = pass)
@@ -80,9 +80,14 @@ def worker(pid: int, tmp: str):
     meta = pd.read_csv(meta_p, sep="\t")
     mesh = make_mesh()                     # all 8 devices across 2 processes
 
-    data, cfg, n, (Pr_b, phi_n) = load_sharded_data(pcs, meta, "donor", mesh)
-    assert n == N and cfg.n_devices == 8
-    cfg = EngineConfig(**{**cfg.__dict__, "max_iter_harmony": 3})
+    # chunk_size=128 puts N=4000 on the fused-XLA path (32 chunks >= 20
+    # blocks) — the production path, whose fixed-frame reductions make the
+    # result BITWISE identical across process topologies (ops/partition.py).
+    cfg = EngineConfig(N=N, d=D, K=min(round(N / 30), 100), B=B, n_devices=8,
+                       use_fused_xla=True, chunk_size=128, max_iter_harmony=3)
+    data, cfg, n, (Pr_b, phi_n) = load_sharded_data(pcs, meta, "donor", mesh,
+                                                    cfg=cfg)
+    assert n == N and cfg.n_devices == 8 and cfg.use_fused_xla
     engine = get_engine(cfg, mesh)
     params = HarmonyParams(
         theta=jax.numpy.full((B,), 2.0, jax.numpy.float32),
@@ -145,7 +150,8 @@ def single(tmp: str):
     meta = pd.read_csv(os.path.join(tmp, "meta.tsv"), sep="\t")
     X = load_matrix_tsv(os.path.join(tmp, "pcs.tsv.gz"))
     ho = hm.run_harmony(X, meta, ["donor"], mesh=make_mesh(n_devices=8),
-                        verbose=False, max_iter_harmony=3)
+                        verbose=False, max_iter_harmony=3, chunk_size=128)
+    assert ho.cfg.use_fused_xla
     np.save(os.path.join(tmp, "single.npy"), ho.Z_corr)
 
 
@@ -176,14 +182,12 @@ def _check(tmp: str):
     single_ = np.load(os.path.join(tmp, "single.npy"))
     assert multi.shape == single_.shape == (N, D)
     assert np.all(np.isfinite(multi))
-    # Same mesh partitioning and algorithm; the cross-PROCESS collectives
-    # (Gloo) may reduce in a different order than the in-process XLA ones,
-    # so equivalence is float32-reduction-order tight (measured max|diff|
-    # ~2e-5 over a 3-iteration fit), not bitwise. Bitwise determinism holds
-    # within a fixed topology (same seed => identical runs; tests/test_seed).
-    max_abs = float(np.max(np.abs(multi - single_)))
-    print(f"multi-host vs single-process: max|diff|={max_abs:.3g}")
-    np.testing.assert_allclose(multi, single_, rtol=2e-3, atol=1e-4)
+    # Fused-XLA path: every cross-device reduction goes through the fixed
+    # global chunk frame (each row written by exactly one shard, psum adds
+    # exact zeros — order-free), so the 2-process Gloo topology must produce
+    # the EXACT bits of the single-process run.
+    np.testing.assert_array_equal(multi, single_)
+    print("multi-host vs single-process: bitwise equal")
     print("MULTIHOST SMOKE OK")
 
 
