@@ -25,8 +25,8 @@ from jax import lax
 from typing import Iterable
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3))
-def _knn(Q: jnp.ndarray, X: jnp.ndarray, n_neighbors: int, chunk: int = 1024):
+def _knn_impl(Q: jnp.ndarray, X: jnp.ndarray, n_neighbors: int,
+              chunk: int = 1024):
     """Exact brute-force kNN of queries Q (M, d) against reference set X
     (N, d). Returns (distances, indices), each (M, n_neighbors), the
     self-neighbor dropped (reference lisi.py:53-57). Q must be a subset of X
@@ -52,6 +52,30 @@ def _knn(Q: jnp.ndarray, X: jnp.ndarray, n_neighbors: int, chunk: int = 1024):
     dists = dists.reshape(M_pad, k)[:M]
     idxs = idxs.reshape(M_pad, k)[:M]
     return dists[:, 1:], idxs[:, 1:]  # drop self
+
+
+_knn = jax.jit(_knn_impl, static_argnums=(2, 3))
+
+
+def _knn_sharded(Q, X, n_neighbors: int, mesh, chunk: int = 1024):
+    """Mesh-parallel exact kNN: queries sharded over the cells axis, the
+    reference set replicated (it is the d-dimensional input embedding —
+    ~100 MB at 858k cells — not a K x N state array). Zero collectives: each
+    shard's (M_local, N) distance tiles and top-k are independent, so the
+    values are bitwise identical to the single-device computation."""
+    from .parallel.mesh import AXIS
+    from jax.sharding import PartitionSpec as P
+
+    D = int(mesh.devices.size)
+    M = Q.shape[0]
+    Mp = -(-M // D) * D
+    Qp = jnp.zeros((Mp, Q.shape[1]), Q.dtype).at[:M].set(Q)
+    f = jax.jit(jax.shard_map(
+        lambda q, x: _knn_impl(q, x, n_neighbors, chunk),
+        mesh=mesh, in_specs=(P(AXIS, None), P()),
+        out_specs=(P(AXIS, None), P(AXIS, None))))
+    dists, idxs = f(Qp, X)
+    return dists[:M], idxs[:M]
 
 
 def _simpson_one_cell(dist, onehot_nbrs, logU, tol):
@@ -124,6 +148,7 @@ def compute_lisi(
     perplexity: float = 30,
     sample: int | None = None,
     random_state: int = 0,
+    mesh=None,
 ):
     """Compute LISI for each label column (reference lisi.py:24-65).
 
@@ -137,8 +162,14 @@ def compute_lisi(
     reference's kd-tree also hits in high dimensions. Whenever `sample` is
     given, the return type is a stable (values, query_indices) pair — even
     if sample >= N, in which case indices are arange(N).
+
+    mesh: optional jax.sharding.Mesh — shard the queries over the mesh's
+    cells axis (reference set replicated; no collectives, so values are
+    bitwise identical to the single-device computation).
     """
-    X = np.asarray(X.values if hasattr(X, "values") else X)
+    on_device = isinstance(X, jax.Array)
+    if not on_device:
+        X = np.asarray(X.values if hasattr(X, "values") else X)
     dtype = np.float64 if jax.config.jax_enable_x64 else np.float32
     n_cells = metadata.shape[0]
     label_colnames = list(label_colnames)
@@ -153,9 +184,14 @@ def compute_lisi(
 
     # Everything stays on device between the kNN and the final LISI values:
     # the only host->device traffic is X and the (N,) label codes per column.
-    Xd = jnp.asarray(X, dtype)
+    # A jax.Array input (e.g. a device-resident Z_corr mid-pipeline) stays
+    # on device — no host round trip.
+    Xd = X.astype(dtype) if on_device else jnp.asarray(X, dtype)
     Qd = Xd[query_idx] if subset else Xd
-    dist, idx = _knn(Qd, Xd, int(perplexity * 3) - 1)
+    if mesh is not None and int(mesh.devices.size) > 1:
+        dist, idx = _knn_sharded(Qd, Xd, int(perplexity * 3) - 1, mesh)
+    else:
+        dist, idx = _knn(Qd, Xd, int(perplexity * 3) - 1)
     logU = jnp.asarray(np.log(perplexity), dist.dtype)
     tol = jnp.asarray(1e-5, dist.dtype)
 

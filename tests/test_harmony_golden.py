@@ -29,6 +29,21 @@ def test_run_harmony_small(pbmc, n_devices):
     assert np.all(cors >= 0.9), f"correlations < 0.9: {cors}"
 
 
+@pytest.mark.parametrize("n_devices", [1, 8])
+def test_run_harmony_small_fused_xla_golden(pbmc, n_devices):
+    """Golden-gate the FUSED path — the one production-size runs actually
+    take. chunk_size=128 puts pbmc_3500 on fused-XLA geometry (27 chunks >=
+    20 blocks); assert the same r >= 0.9 per PC vs the R package output as
+    the per-cell path (reference tests/test_harmony.py:114-131)."""
+    meta, pcs, harmonized = pbmc
+    mesh = make_mesh(n_devices=n_devices)
+    ho = hm.run_harmony(pcs, meta, ["donor"], mesh=mesh, verbose=False,
+                        chunk_size=128)
+    assert ho.cfg.use_fused_xla
+    cors = _correlations(ho.Z_corr, harmonized)
+    assert np.all(cors >= 0.9), f"correlations < 0.9: {cors}"
+
+
 def test_objective_decreases(pbmc):
     meta, pcs, _ = pbmc
     mesh = make_mesh(n_devices=8)

@@ -59,3 +59,24 @@ def test_lisi_sampled_matches_full():
     out, idx_all = hm.compute_lisi(X, meta, ["b"], perplexity=15, sample=500)
     np.testing.assert_allclose(out, full)
     np.testing.assert_array_equal(idx_all, np.arange(500))
+
+
+def test_lisi_sharded_matches_single_device():
+    """mesh-sharded LISI (queries sharded, reference set replicated — zero
+    collectives) is bitwise identical to the single-device computation,
+    including at an N not divisible by the device count."""
+    from harmonypy_tpu.parallel.mesh import make_mesh
+    rng = np.random.default_rng(2)
+    X = rng.normal(size=(403, 6)).astype(np.float32)
+    meta = pd.DataFrame({"b": rng.choice(["x", "y", "z"], size=403),
+                         "c": rng.choice(["u", "v"], size=403)})
+    l1 = hm.compute_lisi(X, meta, ["b", "c"])
+    l8 = hm.compute_lisi(X, meta, ["b", "c"], mesh=make_mesh(n_devices=8))
+    np.testing.assert_array_equal(l1, l8)
+
+    # sample= composes with mesh=
+    v8, idx8 = hm.compute_lisi(X, meta, ["b"], sample=101,
+                               mesh=make_mesh(n_devices=8))
+    v1, idx1 = hm.compute_lisi(X, meta, ["b"], sample=101)
+    np.testing.assert_array_equal(idx1, idx8)
+    np.testing.assert_array_equal(v1, v8)
