@@ -39,7 +39,7 @@ from .ops.pallas.update_r_fused import chunk_stats, fused_update_r
 from .ops.partition import (
     block_ranks, frame_rows, frame_sum, global_slot_table, partition_geometry,
     shard_chunk_gids, shard_slot_tables, stripe_blocks)
-from .ops.update_r_fused_xla import fused_update_r_xla
+from .ops.update_r_fused_xla import fused_update_r_xla3
 
 AXIS = "cells"
 
@@ -288,9 +288,10 @@ class HarmonyEngine:
         cfg = self.cfg
         geom = partition_geometry(cfg)
         gids = shard_chunk_gids(geom, AXIS)
+        CH, nc1 = geom.CH, geom.nc_cap + 1
 
         class C(NamedTuple):
-            R: jax.Array
+            R: jax.Array         # Pallas: (K, N_local); XLA: (nc1, K, CH)
             Ysum: jax.Array      # (d, K) un-normalized centroid numerator
             Y: jax.Array         # (d, K) last round's normalized centroids
             cache: jax.Array     # (n_chunks+1, K, B+1) per-chunk stats
@@ -304,6 +305,14 @@ class HarmonyEngine:
             n_kmeans: jax.Array
             i: jax.Array
             converged: jax.Array
+
+        if not cfg.use_pallas:
+            # Chunk-major views, converted ONCE per harmony iteration; the
+            # loop carries R chunk-major so no (K, N) <-> (nc, CH) re-tiling
+            # happens per round (measured ~3.7 ms/round of pure data
+            # formatting at 858k otherwise).
+            Z3 = state.Z_cos.reshape(cfg.d, nc1, CH).transpose(1, 0, 2)
+            P3 = Phi.reshape(cfg.B, nc1, CH).transpose(1, 0, 2)
 
         def body(c: C) -> C:
             # Pallas returns a shard-local Ysum (psum is an identity at its
@@ -336,8 +345,8 @@ class HarmonyEngine:
             else:
                 # Any mesh: fixed-frame reductions keep O/E/Ysum and the
                 # objective bitwise device-count-invariant.
-                R, O, E, Ysum, cache, kerr, ent = fused_update_r_xla(
-                    slots, granks, removal, state.Z_cos, Phi, Y,
+                R, O, E, Ysum, cache, kerr, ent = fused_update_r_xla3(
+                    slots, granks, removal, Z3, P3, c.R, Y,
                     params.sigma, params.theta, params.Pr_b, c.O, c.E, cfg,
                     AXIS)
             nc = jnp.float32(2000.0 / cfg.N)
@@ -361,17 +370,16 @@ class HarmonyEngine:
             # Shard-local partial sum — the loop body psums it, same as the
             # kernel-produced Ysum of every subsequent round.
             ysum0 = state.Z_cos @ state.R.T
+            R0 = state.R
         else:
-            # Fixed-frame global reduction, matching every subsequent
-            # round's Ysum (bitwise device-count-invariant).
-            CH, nc1 = geom.CH, geom.nc_cap + 1
-            y_c = jnp.einsum(
-                "dnc,knc->ndk",
-                state.Z_cos.reshape(cfg.d, nc1, CH),
-                state.R.astype(jnp.float32).reshape(cfg.K, nc1, CH))
+            # Chunk-major R carry + fixed-frame global Ysum reduction,
+            # matching every subsequent round (bitwise device-count-
+            # invariant).
+            R0 = state.R.reshape(cfg.K, nc1, CH).transpose(1, 0, 2)
+            y_c = jnp.einsum("jdc,jkc->jdk", Z3, R0.astype(jnp.float32))
             ysum0 = frame_sum(y_c[: geom.nc_cap], gids, geom.NC_fixed, AXIS)
         carry = C(
-            R=state.R,
+            R=R0,
             Ysum=ysum0,
             Y=state.Y,
             # Per-chunk stats carried in the state: seeded once at init and
@@ -384,8 +392,10 @@ class HarmonyEngine:
             n_kmeans=state.n_kmeans, i=jnp.int32(0),
             converged=jnp.zeros((), jnp.bool_))
         out = lax.while_loop(cond, body, carry)
+        R_out = (out.R if cfg.use_pallas
+                 else out.R.transpose(1, 0, 2).reshape(cfg.K, nc1 * CH))
         return _KmeansCarry(
-            R=out.R, Y=out.Y, O=out.O, E=out.E, cache=out.cache, key=out.key,
+            R=R_out, Y=out.Y, O=out.O, E=out.E, cache=out.cache, key=out.key,
             obj_kmeans=out.obj_kmeans, obj_dist=out.obj_dist,
             obj_entropy=out.obj_entropy, obj_cross=out.obj_cross,
             n_kmeans=out.n_kmeans, i=out.i, converged=out.converged)

@@ -38,27 +38,33 @@ from .partition import frame_sum, partition_geometry, shard_chunk_gids
 CLAMP = 1e-8
 
 
-def fused_update_r_xla(slots, granks, removal, Z_cos, Phi, Y, sigma, theta,
-                       Pr_b, O, E, cfg: EngineConfig, axis_name):
-    """One full E-step over all blocks. Runs under shard_map.
+def fused_update_r_xla3(slots, granks, removal, Z3, P3, R3, Y, sigma, theta,
+                        Pr_b, O, E, cfg: EngineConfig, axis_name):
+    """One full E-step over all blocks, CHUNK-MAJOR. Runs under shard_map.
+
+    All N-scale buffers are (nc1, x, CH) — chunk id leading — and keep that
+    layout across the whole k-means loop (the engine converts once per
+    harmony iteration). This matters: carrying R as (K, N) across rounds
+    made XLA re-tile the full 345 MB array ~4x per round (zeros-broadcast,
+    two layout copies, a sublane pad — ~3.7 ms/round of pure data
+    formatting at 858k, traced); chunk-major carries with leading-dim
+    gathers/scatters keep every round at the compute cost.
 
     slots/granks: (nb, J_shard) per-shard tables from
     partition.shard_slot_tables (slots: local chunk ids, sentinel = dummy
     chunk; granks: global within-block ranks, sentinel = J_fix). removal:
     (nb, K, B+1) replicated per-block stats to remove, already reduced
-    through the global frame. Z_cos/Phi: (d|B, N_local) shard-local with the
-    trailing dummy chunk. O/E: (K, B) replicated.
+    through the global frame. Z3/P3: (nc1, d|B, CH) shard-local with the
+    trailing dummy chunk. R3: (nc1, K, CH) previous R — write-only (every
+    real chunk is rewritten each round; the dummy chunk must arrive zero and
+    stays zero). O/E: (K, B) replicated.
 
-    Returns (R, O, E, Ysum, cache, kerr, ent) with R/cache shard-local and
+    Returns (R3, O, E, Ysum, cache, kerr, ent) with R3/cache shard-local and
     O/E/Ysum/kerr/ent REPLICATED (already globally reduced, bitwise
     device-count-invariant).
     """
     geom = partition_geometry(cfg)
-    K, d, B, CH = cfg.K, cfg.d, cfg.B, geom.CH
-    Js, nc1 = geom.J_shard, geom.nc_cap + 1
-
-    Z3 = Z_cos.reshape(d, nc1, CH)
-    P3 = Phi.reshape(B, nc1, CH)
+    K, d, B = cfg.K, cfg.d, cfg.B
 
     def body(carry, inp):
         O, E, R3, cache, ybuf, kbuf = carry
@@ -72,19 +78,17 @@ def fused_update_r_xla(slots, granks, removal, Z_cos, Phi, Y, sigma, theta,
         ratio = jnp.clip(E / oe, CLAMP, 1.0)
         wdiv = jnp.exp(theta[None, :] * jnp.log(ratio))        # (K, B)
 
-        zb = Z3[:, slots_b, :]                                 # (d, Js, CH)
-        pb = P3[:, slots_b, :]                                 # (B, Js, CH)
-        dist = 2.0 * (1.0 - Y.T @ zb.reshape(d, Js * CH))      # (K, Js*CH)
-        s = jnp.exp(-dist / sigma[:, None])
-        scale = s / jnp.sum(s, axis=0, keepdims=True)
-        r = scale * (wdiv @ pb.reshape(B, Js * CH))            # dummy cols -> 0
-        r = r / jnp.maximum(jnp.sum(r, axis=0, keepdims=True), CLAMP)
+        zb = Z3[slots_b]                                       # (Js, d, CH)
+        pb = P3[slots_b]                                       # (Js, B, CH)
+        dist = 2.0 * (1.0 - jnp.einsum("dk,jdc->jkc", Y, zb))  # (Js, K, CH)
+        s = jnp.exp(-dist / sigma[None, :, None])
+        scale = s / jnp.sum(s, axis=1, keepdims=True)
+        r = scale * jnp.einsum("kb,jbc->jkc", wdiv, pb)        # dummy cols -> 0
+        r = r / jnp.maximum(jnp.sum(r, axis=1, keepdims=True), CLAMP)
 
         # Per-chunk statistics — fixed (.., CH) shapes on every mesh.
-        r3 = r.reshape(K, Js, CH)
-        dist3 = dist.reshape(K, Js, CH)
-        sum_c = jnp.einsum("kjc->jk", r3)                      # (Js, K)
-        o_c = jnp.einsum("kjc,bjc->jkb", r3, pb)               # (Js, K, B)
+        sum_c = jnp.einsum("jkc->jk", r)                       # (Js, K)
+        o_c = jnp.einsum("jkc,jbc->jkb", r, pb)                # (Js, K, B)
         stats = jnp.concatenate([sum_c[:, :, None], o_c], axis=2)
 
         # Re-add the block globally (harmony.py:506-507) through the fixed
@@ -94,23 +98,23 @@ def fused_update_r_xla(slots, granks, removal, Z_cos, Phi, Y, sigma, theta,
         O = O + add[:, 1:]
 
         # Per-chunk centroid-numerator and objective partials.
-        y_c = jnp.einsum("djc,kjc->jdk", zb, r3)               # (Js, d, K)
-        kerr_c = jnp.einsum("kjc,kjc->j", r3, dist3)           # (Js,)
-        ent_c = jnp.einsum("kjc->j", jnp.where(
-            r3 > 0.0, r3 * jnp.log(jnp.where(r3 > 0.0, r3, 1.0)), 0.0)
-            * sigma[:, None, None])                            # (Js,)
+        y_c = jnp.einsum("jdc,jkc->jdk", zb, r)                # (Js, d, K)
+        kerr_c = jnp.einsum("jkc,jkc->j", r, dist)             # (Js,)
+        ent_c = jnp.einsum("jkc->j", jnp.where(
+            r > 0.0, r * jnp.log(jnp.where(r > 0.0, r, 1.0)), 0.0)
+            * sigma[None, :, None])                            # (Js,)
 
         # Write-back: every real chunk is written exactly once per round;
         # sentinel (dummy) slots all carry zeros, so duplicates are harmless.
         # Storage cast only — all statistics above used the fp32 values.
-        R3 = R3.at[:, slots_b, :].set(r3.astype(R3.dtype))
+        R3 = R3.at[slots_b].set(r.astype(R3.dtype))
         cache = cache.at[slots_b].set(stats)
         ybuf = ybuf.at[slots_b].set(y_c)
         kbuf = kbuf.at[slots_b].set(jnp.stack([kerr_c, ent_c], axis=1))
         return (O, E, R3, cache, ybuf, kbuf), None
 
-    init = (O, E,
-            jnp.zeros((K, nc1, CH), cfg.r_jnp_dtype),
+    nc1 = geom.nc_cap + 1
+    init = (O, E, R3,
             jnp.zeros((nc1, K, B + 1), jnp.float32),
             jnp.zeros((nc1, d, K), jnp.float32),
             jnp.zeros((nc1, 2), jnp.float32))
@@ -121,4 +125,23 @@ def fused_update_r_xla(slots, granks, removal, Z_cos, Phi, Y, sigma, theta,
     gids = shard_chunk_gids(geom, axis_name)
     Ysum = frame_sum(ybuf[: geom.nc_cap], gids, geom.NC_fixed, axis_name)
     ko = frame_sum(kbuf[: geom.nc_cap], gids, geom.NC_fixed, axis_name)
-    return (R3.reshape(K, nc1 * CH), O, E, Ysum, cache, ko[0], ko[1])
+    return (R3, O, E, Ysum, cache, ko[0], ko[1])
+
+
+def fused_update_r_xla(slots, granks, removal, Z_cos, Phi, Y, sigma, theta,
+                       Pr_b, O, E, cfg: EngineConfig, axis_name):
+    """Cell-major convenience wrapper around fused_update_r_xla3 (tests and
+    direct drives): Z_cos/Phi (d|B, N_local) in, R (K, N_local) out. The
+    engine calls the chunk-major core directly to avoid the per-round
+    re-tiles."""
+    geom = partition_geometry(cfg)
+    K, d, B, CH = cfg.K, cfg.d, cfg.B, geom.CH
+    nc1 = geom.nc_cap + 1
+    Z3 = Z_cos.reshape(d, nc1, CH).transpose(1, 0, 2)
+    P3 = Phi.reshape(B, nc1, CH).transpose(1, 0, 2)
+    R3 = jnp.zeros((nc1, K, CH), cfg.r_jnp_dtype)
+    R3, O, E, Ysum, cache, kerr, ent = fused_update_r_xla3(
+        slots, granks, removal, Z3, P3, R3, Y, sigma, theta, Pr_b, O, E,
+        cfg, axis_name)
+    return (R3.transpose(1, 0, 2).reshape(K, nc1 * CH), O, E, Ysum, cache,
+            kerr, ent)
