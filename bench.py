@@ -206,7 +206,9 @@ def _profile_phases(cfg, mesh, data, params, elapsed, iters, total_rounds,
             t0 = time.time()
             sync(eng.iter_fn(st2, data, params))
             t_iter[n_rounds] = time.time() - t0
-        t_round = (t_iter[reps + 1] - t_iter[1]) / reps
+        # Guard against tunnel dispatch noise exceeding the differenced
+        # signal (would yield zero/negative round time and nonsense GB/s).
+        t_round = max((t_iter[reps + 1] - t_iter[1]) / reps, 1e-6)
         t_init = max(t_init_meas - d0, 0.0)
         r_bytes = 2 if cfg.r_dtype == "bfloat16" else 4
         round_gb = cfg.N * (4 * cfg.d + 4 * cfg.B + r_bytes * cfg.K) / 1e9

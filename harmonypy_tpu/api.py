@@ -14,7 +14,8 @@ import pandas as pd
 
 import jax
 
-from .config import EngineConfig, fused_geometry_ok, pallas_supported
+from .config import (EngineConfig, default_nclust, fused_geometry_ok,
+                     pallas_supported)
 from .engine import get_engine
 from .state import HarmonyParams, HarmonyState
 from .parallel.mesh import default_mesh, make_mesh
@@ -86,7 +87,7 @@ def run_harmony(
         "data_mat and meta_data do not have the same number of cells"
 
     if nclust is None:
-        nclust = int(min(round(N / 30.0), 100))
+        nclust = default_nclust(N)
 
     sigma = np.asarray(sigma, dtype=np.float32).reshape(-1)
     if sigma.size == 1 and nclust > 1:

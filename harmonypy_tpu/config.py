@@ -27,6 +27,13 @@ def cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
+def default_nclust(N: int) -> int:
+    """Reference default cluster count (harmony.py:123-124):
+    min(round(N / 30), 100). Single source of truth for api, loader, and
+    tools."""
+    return int(min(round(N / 30.0), 100))
+
+
 CELL_TILE_M = 64  # mean cells per (capacity tile, block) in the iid partition
 
 

@@ -34,7 +34,8 @@ from .ops.normalize import l2_normalize_cols
 from .ops.kmeans import kmeans_init
 from .ops.update_r import compute_scale_dist, update_r
 from .ops.ridge import moe_correct_ridge
-from .ops.objective import compute_objective_terms, cross_entropy_from_stats
+from .ops.objective import (chunk_objective_partials, compute_objective_terms,
+                            cross_entropy_from_stats)
 from .ops.pallas.update_r_fused import chunk_stats, fused_update_r
 from .ops.partition import (
     block_ranks, frame_rows, frame_sum, global_slot_table, partition_geometry,
@@ -197,10 +198,8 @@ class HarmonyEngine:
                 CH, nc1 = geom.CH, geom.nc_cap + 1
                 R3 = R.reshape(cfg.K, nc1, CH)
                 D3 = dist_mat.reshape(cfg.K, nc1, CH)
-                kerr_c = jnp.einsum("knc,knc->n", R3, D3)
-                ent_c = jnp.einsum("knc->n", jnp.where(
-                    R3 > 0.0, R3 * jnp.log(jnp.where(R3 > 0.0, R3, 1.0)), 0.0)
-                    * params.sigma[:, None, None])
+                kerr_c, ent_c = chunk_objective_partials(
+                    R3, D3, params.sigma, k_axis=0, chunk_axis=1)
                 nc = jnp.float32(2000.0 / cfg.N)
                 terms = (
                     frame_sum(kerr_c[: geom.nc_cap], gids, geom.NC_fixed,
@@ -326,7 +325,7 @@ class HarmonyEngine:
             # (ops/partition.py). Each shard derives its own slot table from
             # the shared assignment.
             blocks = stripe_blocks(k_r, geom.NC_fixed, geom.L, geom.nb)
-            ranks = block_ranks(blocks, geom.NC_fixed, geom.nb, geom.J_fix)
+            ranks = block_ranks(blocks, geom.nb, geom.J_fix)
             slots, granks = shard_slot_tables(blocks, ranks, geom, AXIS)
             # Per-block removal stats from the previous round's cache,
             # reduced through the fixed global frame (bitwise invariant).

@@ -198,8 +198,8 @@ def load_sharded_data(pcs_path: str, meta_data, vars_use, mesh,
     if cfg is None:
         # Mirror api.Harmony's engine selection so sharded ingest defaults to
         # the same E-step path and padding layout run_harmony would pick.
-        from ..config import fused_geometry_ok, pallas_supported
-        K = int(min(round(N / 30.0), 100))
+        from ..config import default_nclust, fused_geometry_ok, pallas_supported
+        K = default_nclust(N)
         n_devices = int(mesh.devices.size)
         use_pallas = (mesh.devices.flat[0].platform == "tpu"
                       and pallas_supported(N, n_devices))

@@ -25,13 +25,24 @@ from jax import lax
 from typing import Iterable
 
 
+_KNN_TILE = 131_072  # reference-set tile (memory cap ~ chunk x tile floats)
+
+
 def _knn_impl(Q: jnp.ndarray, X: jnp.ndarray, n_neighbors: int,
               chunk: int = 1024):
     """Exact brute-force kNN of queries Q (M, d) against reference set X
     (N, d). Returns (distances, indices), each (M, n_neighbors), the
     self-neighbor dropped (reference lisi.py:53-57). Q must be a subset of X
-    rows (each query's nearest hit is itself)."""
+    rows (each query's nearest hit is itself).
+
+    Two-stage at scale: when N exceeds _KNN_TILE, the reference set is
+    scanned in tiles — top-k per (chunk, tile) slab, then top-k over the
+    concatenated per-tile candidates — so peak memory is chunk x tile
+    floats (~0.5 GB) instead of chunk x N (3.5 GB at 858k, which overflows
+    a 16 GB chip once top-k workspace is added). Exact: a global top-k
+    winner is a top-k winner within its own tile."""
     M, d = Q.shape
+    N = X.shape[0]
     k = n_neighbors + 1  # top-k includes the point itself
     sq = jnp.sum(X * X, axis=1)
 
@@ -39,12 +50,38 @@ def _knn_impl(Q: jnp.ndarray, X: jnp.ndarray, n_neighbors: int,
     M_pad = n_chunks * chunk
     Qp = jnp.zeros((M_pad, d), Q.dtype).at[:M].set(Q)
 
+    n_tiles = -(-N // _KNN_TILE)
+    T = _KNN_TILE if n_tiles > 1 else N
+    N_pad = n_tiles * T
+    if N_pad != N:
+        # Zero-pad the rows (inf rows would turn the GEMM into NaNs) and
+        # force the padded squared norms to +inf so pad distances sort last.
+        Xp = jnp.zeros((N_pad, d), X.dtype).at[:N].set(X)
+        sqp = jnp.full((N_pad,), jnp.inf, sq.dtype).at[:N].set(sq)
+    else:
+        Xp, sqp = X, sq
+
     def one_chunk(start):
         Qc = lax.dynamic_slice(Qp, (start, jnp.zeros((), start.dtype)),
                                (chunk, d))
         qsq = jnp.sum(Qc * Qc, axis=1)
-        d2 = qsq[:, None] + sq[None, :] - 2.0 * (Qc @ X.T)  # (chunk, N)
-        neg, idx = lax.top_k(-d2, k)
+
+        def one_tile(t0):
+            Xt = lax.dynamic_slice(Xp, (t0, jnp.zeros((), t0.dtype)), (T, d))
+            st = lax.dynamic_slice(sqp, (t0,), (T,))
+            d2 = qsq[:, None] + st[None, :] - 2.0 * (Qc @ Xt.T)  # (chunk, T)
+            neg, idx = lax.top_k(-d2, k)
+            return neg, idx + t0
+
+        if n_tiles == 1:
+            neg, idx = one_tile(jnp.zeros((), jnp.int32))
+        else:
+            tstarts = jnp.arange(n_tiles, dtype=jnp.int32) * T
+            negs, idxs = lax.map(one_tile, tstarts)   # (nt, chunk, k)
+            negs = jnp.moveaxis(negs, 0, 1).reshape(chunk, n_tiles * k)
+            idxs = jnp.moveaxis(idxs, 0, 1).reshape(chunk, n_tiles * k)
+            neg, which = lax.top_k(negs, k)
+            idx = jnp.take_along_axis(idxs, which, axis=1)
         return jnp.sqrt(jnp.maximum(-neg, 0.0)), idx
 
     starts = jnp.arange(n_chunks, dtype=jnp.int32) * chunk

@@ -24,6 +24,20 @@ from .normalize import safe_entropy
 CLAMP = 1e-8
 
 
+def chunk_objective_partials(r, dist, sigma, k_axis: int, chunk_axis: int):
+    """Per-chunk kmeans-error and sigma-weighted entropy partials, reduced
+    over every axis except `chunk_axis` (fp32 inputs expected). Single
+    source of the clamped r*log(r) formula shared by the engine's init pass
+    (K-major layout) and the fused-XLA E-step (chunk-major layout); the
+    Pallas kernel necessarily re-states it in-kernel."""
+    shape = [1] * r.ndim
+    shape[k_axis] = -1
+    axes = tuple(a for a in range(r.ndim) if a != chunk_axis)
+    kerr = jnp.sum(r * dist, axis=axes)
+    ent = jnp.sum(safe_entropy(r) * sigma.reshape(shape), axis=axes)
+    return kerr, ent
+
+
 def cross_entropy_from_stats(O, E, params: HarmonyParams, cfg: EngineConfig):
     """Diversity cross term computed from O/E alone, no cell pass:
 

@@ -100,18 +100,25 @@ def iid_blocks(key, n_real: int, L: int, nb: int) -> jnp.ndarray:
     from ..config import cell_tile_geom
 
     G, cap = cell_tile_geom(nb)
-    n_tiles = cdiv(max(L, 1), G)
+    # The draw covers exactly the real ids (rounded up to whole tiles), so
+    # its shape is a function of (n_real, nb) alone — L (which can depend on
+    # the mesh via the per-shard padded length) only ever appends sentinel
+    # entries and never changes the random stream.
+    n_tiles = cdiv(max(n_real, 1), G)
     raw = jax.random.randint(key, (n_tiles * G,), 0, nb, jnp.int32)
     occ = raw.reshape(n_tiles, G)[:, :, None] == jnp.arange(nb)[None, None, :]
     ranks = jnp.cumsum(occ.astype(jnp.int32), axis=1) - 1     # (T, G, nb)
     rank = jnp.take_along_axis(
         ranks, raw.reshape(n_tiles, G, 1), axis=2).reshape(-1)
-    blocks = jnp.where(rank < cap, raw, jnp.int32(nb))[:L]
+    blocks = jnp.where(rank < cap, raw, jnp.int32(nb))
+    if blocks.shape[0] < L:
+        blocks = jnp.concatenate(
+            [blocks, jnp.full((L - blocks.shape[0],), nb, jnp.int32)])
+    blocks = blocks[:L]
     return jnp.where(jnp.arange(L) < n_real, blocks, jnp.int32(nb))
 
 
-def block_ranks(blocks: jnp.ndarray, n_real: int, nb: int,
-                sentinel: int) -> jnp.ndarray:
+def block_ranks(blocks: jnp.ndarray, nb: int, sentinel: int) -> jnp.ndarray:
     """(L,) int32 rank of each item within its block (0-based, ascending by
     global id); sentinel-block items get `sentinel`."""
     occ = (blocks[:, None] == jnp.arange(nb, dtype=blocks.dtype)[None, :])
@@ -178,7 +185,7 @@ def single_device_tables(key, cfg: EngineConfig):
     geom = partition_geometry(cfg)
     assert geom.n_devices == 1, geom
     blocks = stripe_blocks(key, geom.NC_fixed, geom.L, geom.nb)
-    ranks = block_ranks(blocks, geom.NC_fixed, geom.nb, geom.J_fix)
+    ranks = block_ranks(blocks, geom.nb, geom.J_fix)
     slots, granks = group_by_block(
         blocks[: geom.nc_cap], geom.nb, geom.J_shard, fill=geom.nc_cap,
         extra=ranks[: geom.nc_cap], extra_fill=geom.J_fix)

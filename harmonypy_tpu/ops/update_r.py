@@ -62,11 +62,18 @@ def _diversity_weights(O, E, theta):
     return jnp.exp(theta[None, :] * jnp.log(ratio))
 
 
+def cell_partition_len(cfg: EngineConfig) -> int:
+    """Assignment-table length for the per-cell partition: covers every
+    (padded) global cell id. Only sentinel entries live beyond N, so the
+    random stream is unaffected by the mesh (iid_blocks draws over N)."""
+    return max(round_up(cfg.N, cfg.n_blocks), cfg.n_devices * cfg.N_local)
+
+
 def cell_slot_table(key, cfg: EngineConfig, axis_name):
     """(nb, W) per-shard table of local cell ids per block (sentinel ==
     N_local), from the global iid assignment. Device-count-invariant."""
     Nl, nb = cfg.N_local, cfg.n_blocks
-    L = max(round_up(cfg.N, nb), cfg.n_devices * Nl)
+    L = cell_partition_len(cfg)
     blocks = iid_blocks(key, cfg.N, L, nb)           # cells >= N -> sentinel
     lo = lax.axis_index(axis_name) * Nl
     myb = lax.dynamic_slice(blocks, (lo,), (Nl,))

@@ -33,6 +33,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..config import EngineConfig
+from .objective import chunk_objective_partials
 from .partition import frame_sum, partition_geometry, shard_chunk_gids
 
 CLAMP = 1e-8
@@ -99,10 +100,8 @@ def fused_update_r_xla3(slots, granks, removal, Z3, P3, R3, Y, sigma, theta,
 
         # Per-chunk centroid-numerator and objective partials.
         y_c = jnp.einsum("jdc,jkc->jdk", zb, r)                # (Js, d, K)
-        kerr_c = jnp.einsum("jkc,jkc->j", r, dist)             # (Js,)
-        ent_c = jnp.einsum("jkc->j", jnp.where(
-            r > 0.0, r * jnp.log(jnp.where(r > 0.0, r, 1.0)), 0.0)
-            * sigma[None, :, None])                            # (Js,)
+        kerr_c, ent_c = chunk_objective_partials(
+            r, dist, sigma, k_axis=1, chunk_axis=0)            # (Js,) each
 
         # Write-back: every real chunk is written exactly once per round;
         # sentinel (dummy) slots all carry zeros, so duplicates are harmless.

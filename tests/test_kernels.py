@@ -115,9 +115,9 @@ def test_update_r_matches_oracle_single_device(block_size):
     # Same global iid partition the kernel derives internally (sentinel-
     # blocked cells are in no list and keep their R, matching the kernel).
     from harmonypy_tpu.ops.partition import iid_blocks
+    from harmonypy_tpu.ops.update_r import cell_partition_len
     nb = cfg.n_blocks
-    L = max(-(-p["N"] // nb) * nb, cfg.N_local)
-    ba = np.asarray(iid_blocks(key, p["N"], L, nb))
+    ba = np.asarray(iid_blocks(key, p["N"], cell_partition_len(cfg), nb))
     block_lists = [np.where(ba[: p["N"]] == b)[0] for b in range(nb)]
     R_ref, E_ref, O_ref = oracle.update_r_blocks(
         p["R"], p["dist"], p["Phi"], p["E"], p["O"],

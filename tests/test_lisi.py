@@ -80,3 +80,19 @@ def test_lisi_sharded_matches_single_device():
     v1, idx1 = hm.compute_lisi(X, meta, ["b"], sample=101)
     np.testing.assert_array_equal(idx1, idx8)
     np.testing.assert_array_equal(v1, v8)
+
+
+def test_lisi_tiled_knn_matches_single_tile(monkeypatch):
+    """The two-stage tiled kNN (reference set scanned in tiles, per-tile
+    top-k then a merge top-k) is exact: same values as the one-slab path,
+    including with a partial final tile."""
+    import harmonypy_tpu.lisi as lisi_mod
+    rng = np.random.default_rng(3)
+    X = rng.normal(size=(530, 5)).astype(np.float32)
+    meta = pd.DataFrame({"b": rng.choice(["x", "y", "z"], size=530)})
+    full = hm.compute_lisi(X, meta, ["b"])
+    monkeypatch.setattr(lisi_mod, "_KNN_TILE", 128)  # forces 5 tiles (last partial)
+    lisi_mod._knn.clear_cache()
+    tiled = hm.compute_lisi(X, meta, ["b"])
+    lisi_mod._knn.clear_cache()
+    np.testing.assert_allclose(tiled, full, rtol=1e-5, atol=1e-6)

@@ -69,7 +69,7 @@ def worker(pid: int, tmp: str):
     import numpy as np
     import pandas as pd
     import harmonypy_tpu as hm
-    from harmonypy_tpu.config import EngineConfig
+    from harmonypy_tpu.config import EngineConfig, default_nclust
     from harmonypy_tpu.engine import get_engine
     from harmonypy_tpu.io import load_sharded_data
     from harmonypy_tpu.parallel.mesh import make_mesh
@@ -83,7 +83,7 @@ def worker(pid: int, tmp: str):
     # chunk_size=128 puts N=4000 on the fused-XLA path (32 chunks >= 20
     # blocks) — the production path, whose fixed-frame reductions make the
     # result BITWISE identical across process topologies (ops/partition.py).
-    cfg = EngineConfig(N=N, d=D, K=min(round(N / 30), 100), B=B, n_devices=8,
+    cfg = EngineConfig(N=N, d=D, K=default_nclust(N), B=B, n_devices=8,
                        use_fused_xla=True, chunk_size=128, max_iter_harmony=3)
     data, cfg, n, (Pr_b, phi_n) = load_sharded_data(pcs, meta, "donor", mesh,
                                                     cfg=cfg)
@@ -133,6 +133,24 @@ def worker(pid: int, tmp: str):
         obj = np.asarray(state.obj_harmony[: int(state.n_harmony)])
         print(f"worker0: N={n} iters={int(state.n_rounds)} "
               f"objective {obj[0]:.2f} -> {obj[-1]:.2f}")
+
+    # PER-CELL path across processes (default chunk geometry at N=4000):
+    # its per-block psums reduce shard partials, so cross-process Gloo
+    # reduction order makes this reduction-order tight, not bitwise.
+    cfg_pc = EngineConfig(N=N, d=D, K=default_nclust(N), B=B, n_devices=8,
+                          max_iter_harmony=2)
+    assert not cfg_pc.fused_estep
+    data_pc, cfg_pc, _, _ = load_sharded_data(pcs, meta, "donor", mesh,
+                                              cfg=cfg_pc)
+    st_pc = get_engine(cfg_pc, mesh).fit_fn(data_pc, params,
+                                            jax.random.PRNGKey(0))
+    # process_allgather is a collective: every process participates.
+    Zpc = unpad_cells(
+        np.asarray(multihost_utils.process_allgather(st_pc.Z_corr,
+                                                     tiled=True)),
+        cfg_pc).T
+    if pid == 0:
+        np.save(os.path.join(tmp, "multi_percell.npy"), Zpc)
     jax.distributed.shutdown()
 
 
@@ -154,6 +172,11 @@ def single(tmp: str):
     assert ho.cfg.use_fused_xla
     np.save(os.path.join(tmp, "single.npy"), ho.Z_corr)
 
+    hp = hm.run_harmony(X, meta, ["donor"], mesh=make_mesh(n_devices=8),
+                        verbose=False, max_iter_harmony=2)
+    assert not hp.cfg.fused_estep
+    np.save(os.path.join(tmp, "single_percell.npy"), hp.Z_corr)
+
 
 def main():
     import shutil
@@ -165,7 +188,7 @@ def main():
         [sys.executable, __file__, "--worker", str(pid), tmp], env=env)
         for pid in range(2)]
     try:
-        codes = [p.wait(timeout=240) for p in procs]
+        codes = [p.wait(timeout=400) for p in procs]
         assert codes == [0, 0], codes
         subprocess.run([sys.executable, __file__, "--single", tmp],
                        env=env, check=True, timeout=240)
@@ -187,7 +210,16 @@ def _check(tmp: str):
     # exact zeros — order-free), so the 2-process Gloo topology must produce
     # the EXACT bits of the single-process run.
     np.testing.assert_array_equal(multi, single_)
-    print("multi-host vs single-process: bitwise equal")
+    print("multi-host vs single-process (fused): bitwise equal")
+
+    # Per-cell path: same global partition, but its per-block O/E psums
+    # reduce shard partials, so cross-process Gloo ordering makes this
+    # float32-reduction-order tight rather than bitwise.
+    mpc = np.load(os.path.join(tmp, "multi_percell.npy"))
+    spc = np.load(os.path.join(tmp, "single_percell.npy"))
+    scale = float(np.max(np.abs(spc)))
+    np.testing.assert_allclose(mpc, spc, atol=5e-4 * scale)
+    print("multi-host vs single-process (per-cell): reduction-order tight")
     print("MULTIHOST SMOKE OK")
 
 
