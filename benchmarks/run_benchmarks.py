@@ -247,7 +247,14 @@ def bench_lisi_large(results):
     X, batches = gen(jax.random.PRNGKey(0))
     meta = pd.DataFrame({"batch": np.asarray(batches)})
     m = mesh if int(mesh.devices.size) > 1 else None
-    vals, dt = _timed(lambda: hm.compute_lisi(X, meta, ["batch"], mesh=m))
+    # Warm-up on ONE query batch (compiles the same batched-kNN executable
+    # the full run uses); a full double-run would be ~10 min of pure
+    # execution at this scale.
+    from harmonypy_tpu.lisi import _KNN_BATCH
+    hm.compute_lisi(X, meta, ["batch"], mesh=m, sample=_KNN_BATCH)
+    t0 = time.time()
+    vals = hm.compute_lisi(X, meta, ["batch"], mesh=m)
+    dt = time.time() - t0
     results["lisi_large"] = dict(seconds=dt, cells_per_s=round(N / dt),
                                  mean_lisi=round(float(vals.mean()), 4))
 

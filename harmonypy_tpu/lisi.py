@@ -94,6 +94,35 @@ def _knn_impl(Q: jnp.ndarray, X: jnp.ndarray, n_neighbors: int,
 _knn = jax.jit(_knn_impl, static_argnums=(2, 3))
 
 
+_KNN_BATCH = 65_536  # queries per dispatch (bounds single-program runtime)
+
+
+def _knn_batched(Q, X, n_neighbors: int, mesh=None, chunk: int = 1024):
+    """Host-level query batching around the jitted kNN: one dispatch per
+    _KNN_BATCH queries (padded to a full batch, so exactly two executables:
+    the batch shape and nothing else). Keeps any single device program's
+    runtime bounded — a full 858k x 858k kNN in one program runs for
+    minutes, which remote-tunnel workers do not reliably survive — and
+    yields identical values to the one-shot computation (each query row is
+    independent)."""
+    M = Q.shape[0]
+    if M <= _KNN_BATCH:
+        return (_knn_sharded(Q, X, n_neighbors, mesh, chunk)
+                if mesh is not None and int(mesh.devices.size) > 1
+                else _knn(Q, X, n_neighbors, chunk))
+    outs = []
+    for lo in range(0, M, _KNN_BATCH):
+        Qb = Q[lo: lo + _KNN_BATCH]
+        if Qb.shape[0] < _KNN_BATCH:  # pad: reuse the same executable
+            Qb = jnp.concatenate(
+                [Qb, jnp.zeros((_KNN_BATCH - Qb.shape[0], Q.shape[1]),
+                               Q.dtype)])
+        outs.append(_knn_batched(Qb, X, n_neighbors, mesh, chunk))
+    dist = jnp.concatenate([o[0] for o in outs])[:M]
+    idx = jnp.concatenate([o[1] for o in outs])[:M]
+    return dist, idx
+
+
 def _knn_sharded(Q, X, n_neighbors: int, mesh, chunk: int = 1024):
     """Mesh-parallel exact kNN: queries sharded over the cells axis, the
     reference set replicated (it is the d-dimensional input embedding —
@@ -225,10 +254,7 @@ def compute_lisi(
     # on device — no host round trip.
     Xd = X.astype(dtype) if on_device else jnp.asarray(X, dtype)
     Qd = Xd[query_idx] if subset else Xd
-    if mesh is not None and int(mesh.devices.size) > 1:
-        dist, idx = _knn_sharded(Qd, Xd, int(perplexity * 3) - 1, mesh)
-    else:
-        dist, idx = _knn(Qd, Xd, int(perplexity * 3) - 1)
+    dist, idx = _knn_batched(Qd, Xd, int(perplexity * 3) - 1, mesh)
     logU = jnp.asarray(np.log(perplexity), dist.dtype)
     tol = jnp.asarray(1e-5, dist.dtype)
 

@@ -96,3 +96,16 @@ def test_lisi_tiled_knn_matches_single_tile(monkeypatch):
     tiled = hm.compute_lisi(X, meta, ["b"])
     lisi_mod._knn.clear_cache()
     np.testing.assert_allclose(tiled, full, rtol=1e-5, atol=1e-6)
+
+
+def test_lisi_query_batching_matches_one_shot(monkeypatch):
+    """Host-level query batching (bounded per-dispatch runtime at scale)
+    returns exactly the one-shot values, including the padded last batch."""
+    import harmonypy_tpu.lisi as lisi_mod
+    rng = np.random.default_rng(4)
+    X = rng.normal(size=(333, 4)).astype(np.float32)
+    meta = pd.DataFrame({"b": rng.choice(["x", "y"], size=333)})
+    full = hm.compute_lisi(X, meta, ["b"])
+    monkeypatch.setattr(lisi_mod, "_KNN_BATCH", 100)
+    batched = hm.compute_lisi(X, meta, ["b"])
+    np.testing.assert_array_equal(batched, full)
