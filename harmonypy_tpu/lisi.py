@@ -29,8 +29,8 @@ _KNN_TILE = 131_072  # reference-set tile (memory cap ~ chunk x tile floats)
 
 
 def _knn_impl(Q: jnp.ndarray, X: jnp.ndarray, n_neighbors: int,
-              chunk: int = 1024):
-    """Exact brute-force kNN of queries Q (M, d) against reference set X
+              chunk: int = 1024, approx: bool = False):
+    """Brute-force kNN of queries Q (M, d) against reference set X
     (N, d). Returns (distances, indices), each (M, n_neighbors), the
     self-neighbor dropped (reference lisi.py:53-57). Q must be a subset of X
     rows (each query's nearest hit is itself).
@@ -39,8 +39,13 @@ def _knn_impl(Q: jnp.ndarray, X: jnp.ndarray, n_neighbors: int,
     scanned in tiles — top-k per (chunk, tile) slab, then top-k over the
     concatenated per-tile candidates — so peak memory is chunk x tile
     floats (~0.5 GB) instead of chunk x N (3.5 GB at 858k, which overflows
-    a 16 GB chip once top-k workspace is added). Exact: a global top-k
-    winner is a top-k winner within its own tile."""
+    a 16 GB chip once top-k workspace is added). Exact by default: a global
+    top-k winner is a top-k winner within its own tile.
+
+    approx=True swaps the per-tile selection for lax.approx_max_k — the
+    TPU's PartialReduce hardware operator (Chern et al., arXiv:2206.14286)
+    at recall_target=0.95 per tile — for atlas-scale runs where the exact
+    VPU sort dominates; the cross-tile merge stays exact."""
     M, d = Q.shape
     N = X.shape[0]
     k = n_neighbors + 1  # top-k includes the point itself
@@ -70,7 +75,10 @@ def _knn_impl(Q: jnp.ndarray, X: jnp.ndarray, n_neighbors: int,
             Xt = lax.dynamic_slice(Xp, (t0, jnp.zeros((), t0.dtype)), (T, d))
             st = lax.dynamic_slice(sqp, (t0,), (T,))
             d2 = qsq[:, None] + st[None, :] - 2.0 * (Qc @ Xt.T)  # (chunk, T)
-            neg, idx = lax.top_k(-d2, k)
+            if approx:
+                neg, idx = lax.approx_max_k(-d2, k, recall_target=0.95)
+            else:
+                neg, idx = lax.top_k(-d2, k)
             return neg, idx + t0
 
         if n_tiles == 1:
@@ -91,13 +99,14 @@ def _knn_impl(Q: jnp.ndarray, X: jnp.ndarray, n_neighbors: int,
     return dists[:, 1:], idxs[:, 1:]  # drop self
 
 
-_knn = jax.jit(_knn_impl, static_argnums=(2, 3))
+_knn = jax.jit(_knn_impl, static_argnums=(2, 3, 4))
 
 
 _KNN_BATCH = 65_536  # queries per dispatch (bounds single-program runtime)
 
 
-def _knn_batched(Q, X, n_neighbors: int, mesh=None, chunk: int = 1024):
+def _knn_batched(Q, X, n_neighbors: int, mesh=None, chunk: int = 1024,
+                 approx: bool = False):
     """Host-level query batching around the jitted kNN: one dispatch per
     _KNN_BATCH queries (padded to a full batch, so exactly two executables:
     the batch shape and nothing else). Keeps any single device program's
@@ -107,9 +116,9 @@ def _knn_batched(Q, X, n_neighbors: int, mesh=None, chunk: int = 1024):
     independent)."""
     M = Q.shape[0]
     if M <= _KNN_BATCH:
-        return (_knn_sharded(Q, X, n_neighbors, mesh, chunk)
+        return (_knn_sharded(Q, X, n_neighbors, mesh, chunk, approx)
                 if mesh is not None and int(mesh.devices.size) > 1
-                else _knn(Q, X, n_neighbors, chunk))
+                else _knn(Q, X, n_neighbors, chunk, approx))
     outs = []
     for lo in range(0, M, _KNN_BATCH):
         Qb = Q[lo: lo + _KNN_BATCH]
@@ -117,13 +126,14 @@ def _knn_batched(Q, X, n_neighbors: int, mesh=None, chunk: int = 1024):
             Qb = jnp.concatenate(
                 [Qb, jnp.zeros((_KNN_BATCH - Qb.shape[0], Q.shape[1]),
                                Q.dtype)])
-        outs.append(_knn_batched(Qb, X, n_neighbors, mesh, chunk))
+        outs.append(_knn_batched(Qb, X, n_neighbors, mesh, chunk, approx))
     dist = jnp.concatenate([o[0] for o in outs])[:M]
     idx = jnp.concatenate([o[1] for o in outs])[:M]
     return dist, idx
 
 
-def _knn_sharded(Q, X, n_neighbors: int, mesh, chunk: int = 1024):
+def _knn_sharded(Q, X, n_neighbors: int, mesh, chunk: int = 1024,
+                 approx: bool = False):
     """Mesh-parallel exact kNN: queries sharded over the cells axis, the
     reference set replicated (it is the d-dimensional input embedding —
     ~100 MB at 858k cells — not a K x N state array). Zero collectives: each
@@ -137,7 +147,7 @@ def _knn_sharded(Q, X, n_neighbors: int, mesh, chunk: int = 1024):
     Mp = -(-M // D) * D
     Qp = jnp.zeros((Mp, Q.shape[1]), Q.dtype).at[:M].set(Q)
     f = jax.jit(jax.shard_map(
-        lambda q, x: _knn_impl(q, x, n_neighbors, chunk),
+        lambda q, x: _knn_impl(q, x, n_neighbors, chunk, approx),
         mesh=mesh, in_specs=(P(AXIS, None), P()),
         out_specs=(P(AXIS, None), P(AXIS, None))))
     dists, idxs = f(Qp, X)
@@ -215,6 +225,7 @@ def compute_lisi(
     sample: int | None = None,
     random_state: int = 0,
     mesh=None,
+    knn: str = "exact",
 ):
     """Compute LISI for each label column (reference lisi.py:24-65).
 
@@ -232,7 +243,14 @@ def compute_lisi(
     mesh: optional jax.sharding.Mesh — shard the queries over the mesh's
     cells axis (reference set replicated; no collectives, so values are
     bitwise identical to the single-device computation).
+
+    knn: "exact" (default — same neighbor sets as the reference) or
+    "approx" — TPU hardware approximate top-k (lax.approx_max_k,
+    recall_target=0.95 per reference tile) for atlas-scale runs where the
+    exact selection sort dominates the runtime.
     """
+    if knn not in ("exact", "approx"):
+        raise ValueError(f"knn must be 'exact' or 'approx', got {knn!r}")
     on_device = isinstance(X, jax.Array)
     if not on_device:
         X = np.asarray(X.values if hasattr(X, "values") else X)
@@ -254,7 +272,8 @@ def compute_lisi(
     # on device — no host round trip.
     Xd = X.astype(dtype) if on_device else jnp.asarray(X, dtype)
     Qd = Xd[query_idx] if subset else Xd
-    dist, idx = _knn_batched(Qd, Xd, int(perplexity * 3) - 1, mesh)
+    dist, idx = _knn_batched(Qd, Xd, int(perplexity * 3) - 1, mesh,
+                             approx=(knn == "approx"))
     logU = jnp.asarray(np.log(perplexity), dist.dtype)
     tol = jnp.asarray(1e-5, dist.dtype)
 

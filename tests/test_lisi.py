@@ -109,3 +109,20 @@ def test_lisi_query_batching_matches_one_shot(monkeypatch):
     monkeypatch.setattr(lisi_mod, "_KNN_BATCH", 100)
     batched = hm.compute_lisi(X, meta, ["b"])
     np.testing.assert_array_equal(batched, full)
+
+
+def test_lisi_approx_close_to_exact():
+    """knn='approx' (TPU hardware approximate top-k; exact fallback sort on
+    CPU) stays within a small tolerance of the exact values, and rejects
+    unknown modes."""
+    import pytest
+    rng = np.random.default_rng(5)
+    X = rng.normal(size=(500, 6)).astype(np.float32)
+    meta = pd.DataFrame({"b": rng.choice(["x", "y", "z"], size=500)})
+    exact = hm.compute_lisi(X, meta, ["b"])
+    approx = hm.compute_lisi(X, meta, ["b"], knn="approx")
+    # per-cell LISI in [1, 3]; a 95%-recall neighbor set moves it only a little
+    assert np.mean(np.abs(exact - approx)) < 0.05
+    assert np.max(np.abs(exact - approx)) < 0.5
+    with pytest.raises(ValueError, match="approx"):
+        hm.compute_lisi(X, meta, ["b"], knn="fancy")
