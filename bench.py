@@ -129,134 +129,20 @@ def main():
           file=sys.stderr)
 
 
-def _profile_phases(cfg, mesh, data, params, elapsed, iters, total_rounds,
-                    reps=16):
-    """Per-phase device time through the REAL engine code paths (VERDICT r1
-    #2): init via init_fn; one fuzzy-k-means round by differencing an
-    iteration pinned to 1+reps rounds against one pinned to 1 round
-    (epsilon=0 disables early convergence, so the loop trip count is exact);
-    ridge correction as the 1-round iteration minus one round. The E-step,
-    the Y/dist update, and the objective are ONE fused program by design
-    (the kernel emits the next round's centroid numerator and the objective
-    partials with no extra pass over R), so "kmeans_round" is their joint
-    cost. Adds an effective-HBM estimate for the round against the minimum
-    traffic model (docs/design.md SS2): N*(4d + 4B + r_bytes*K) bytes.
+def _profile_phases(cfg, mesh, data, params, elapsed, iters, total_rounds):
+    """Package profiler (harmonypy_tpu.utils.profiling.profile_fit) plus the
+    bench-side accounting: how much of the measured wall-clock the phase
+    model explains."""
+    from harmonypy_tpu.utils.profiling import profile_fit
 
-    Timings are host wall-clock around a scalar readback (true device sync
-    through the tunnel); each carries ~25-50 ms dispatch noise, so phase
-    numbers are amortized over `reps` in-graph repetitions.
-
-    Budgeted: each probe program's FIRST execution may pay a server-side
-    compile on remote-tunnel backends (minutes, uncached locally). When the
-    accumulated profiling time exceeds $BENCH_PHASE_BUDGET_S (default 360),
-    the remaining probes are skipped and whatever was measured is returned —
-    the headline metric never depends on this function.
-    """
-    import dataclasses
-
-    import jax
-    import jax.numpy as jnp
-    from harmonypy_tpu.engine import get_engine
-
-    budget = float(os.environ.get("BENCH_PHASE_BUDGET_S", 360))
-    t_start = time.time()
-
-    class OverBudget(Exception):
-        pass
-
-    def check_budget():
-        if time.time() - t_start > budget:
-            raise OverBudget(f"phase-probe budget {budget}s exceeded")
-
-    def sync(out):
-        int(np.asarray(jax.tree.leaves(out)[0].ravel()[0]))
-
-    def timed(fn, *a):
-        sync(fn(*a))                                  # warm-up / compile
-        t0 = time.time()
-        sync(fn(*a))
-        return time.time() - t0
-
-    key = jax.random.PRNGKey(0)
-    res = {}
-    try:
-        # Dispatch floor: every host-timed call through the (tunneled)
-        # runtime pays this; subtract it so phases sum to device time. Take
-        # the min of a few trivial round trips (the floor, not the mean).
-        noop = jax.jit(lambda x: x + 1)
-        sync(noop(jnp.zeros(())))
-        d0 = min(timed(noop, jnp.zeros(())) for _ in range(5))
-        res["dispatch_s"] = round(d0, 4)
-
-        # Per-kmeans-round cost: difference an iteration pinned to 1+reps
-        # rounds against one pinned to 1 round (dispatch cancels).
-        t_iter = {}
-        for n_rounds in (reps + 1, 1):
-            check_budget()
-            cfg_v = dataclasses.replace(
-                cfg, max_iter_kmeans=n_rounds, epsilon_kmeans=0.0,
-                max_iter_harmony=1)
-            eng = get_engine(cfg_v, mesh)
-            st = eng.init_fn(data, params, key)
-            t_init_meas = timed(eng.init_fn, data, params, key)
-            # iter_fn donates its state: one fresh state per call.
-            sync(eng.iter_fn(st, data, params))       # warm-up / compile
-            st2 = eng.init_fn(data, params, key)
-            sync(st2)
-            t0 = time.time()
-            sync(eng.iter_fn(st2, data, params))
-            t_iter[n_rounds] = time.time() - t0
-        # Guard against tunnel dispatch noise exceeding the differenced
-        # signal (would yield zero/negative round time and nonsense GB/s).
-        t_round = max((t_iter[reps + 1] - t_iter[1]) / reps, 1e-6)
-        t_init = max(t_init_meas - d0, 0.0)
-        r_bytes = 2 if cfg.r_dtype == "bfloat16" else 4
-        round_gb = cfg.N * (4 * cfg.d + 4 * cfg.B + r_bytes * cfg.K) / 1e9
-        peak = float(os.environ.get("BENCH_HBM_PEAK_GBPS", 819))  # TPU v5e
-        res["phase_init_s"] = round(t_init, 4)
-        res["phase_kmeans_round_s"] = round(t_round, 5)
-        res["estep_hbm_gbps"] = round(round_gb / t_round, 1)
-        res["estep_hbm_frac_of_peak"] = round(round_gb / t_round / peak, 3)
-
-        # Ridge cost, amortized in-graph: a fit pinned to `reps` harmony
-        # iterations of exactly 1 kmeans round = init + reps*(round+ridge).
-        check_budget()
-        cfg_r = dataclasses.replace(
-            cfg, max_iter_kmeans=1, epsilon_kmeans=0.0,
-            max_iter_harmony=reps, epsilon_harmony=-1e30)
-        eng_r = get_engine(cfg_r, mesh)
-        t_fit_r = timed(eng_r.fit_fn, data, params, key)
-        t_ridge = max((t_fit_r - d0 - t_init) / reps - t_round, 0.0)
-        accounted = t_init + total_rounds * t_round + iters * t_ridge
-        res["phase_ridge_s"] = round(t_ridge, 5)
+    res = profile_fit(cfg, mesh, data, params)
+    if "phase_ridge_s" in res:
+        accounted = (res["phase_init_s"]
+                     + total_rounds * res["phase_kmeans_round_s"]
+                     + iters * res["phase_ridge_s"])
         res["accounted_s"] = round(accounted, 4)
         res["accounted_frac"] = round(
-            accounted / max(elapsed - d0, 1e-9), 3)
-
-        if cfg.use_pallas:
-            # The multi-chip (fused-XLA) E-step's per-chip round cost,
-            # measured the same way — the device-side number a >1-chip mesh
-            # would see per shard (VERDICT r1 #6). Chunk-major carries keep
-            # it ~2x the Pallas kernel (the gap is stats reductions
-            # re-reading r from HBM, which the kernel keeps in VMEM).
-            tx = {}
-            for n_rounds in (reps + 1, 1):
-                check_budget()
-                cfg_v = dataclasses.replace(
-                    cfg, use_pallas=False, use_fused_xla=True,
-                    max_iter_kmeans=n_rounds, epsilon_kmeans=0.0,
-                    max_iter_harmony=1)
-                eng = get_engine(cfg_v, mesh)
-                st = eng.init_fn(data, params, key)
-                sync(eng.iter_fn(st, data, params))   # warm-up / compile
-                st2 = eng.init_fn(data, params, key)
-                sync(st2)
-                t0 = time.time()
-                sync(eng.iter_fn(st2, data, params))
-                tx[n_rounds] = time.time() - t0
-            res["fused_xla_round_s"] = round((tx[reps + 1] - tx[1]) / reps, 5)
-    except OverBudget as e:
-        res["phases_truncated"] = str(e)
+            accounted / max(elapsed - res.get("dispatch_s", 0.0), 1e-9), 3)
     return res
 
 

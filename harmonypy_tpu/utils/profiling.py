@@ -8,11 +8,15 @@ harness (SURVEY.md §5). Here:
   phase_timer()     host-side wall-clock accumulator with true device sync
                     (scalar readback — plain block_until_ready can return
                     early through remote-device tunnels).
+  profile_fit(...)  per-phase device-time breakdown of a Harmony fit (init /
+                    k-means round / ridge) measured through the real engine
+                    programs, plus an effective-HBM estimate for the E-step.
 """
 
 from __future__ import annotations
 
 import contextlib
+import os
 import time
 
 import numpy as np
@@ -58,3 +62,132 @@ class phase_timer:
             if sync is not None:
                 device_sync(sync)
             self.timings[name] = self.timings.get(name, 0.0) + time.time() - t0
+
+
+def estep_traffic_model_gb(cfg) -> float:
+    """Minimum per-kmeans-round HBM traffic of the fused E-step
+    (docs/design.md §2): read Z_cos + Phi once, write R once."""
+    r_bytes = 2 if cfg.r_dtype == "bfloat16" else 4
+    return cfg.N * (4 * cfg.d + 4 * cfg.B + r_bytes * cfg.K) / 1e9
+
+
+def profile_fit(cfg, mesh, data, params, key=None, reps: int = 16,
+                budget_s: float | None = None,
+                hbm_peak_gbps: float | None = None) -> dict:
+    """Per-phase device time through the REAL engine code paths:
+
+      dispatch_s            host<->runtime round-trip floor (min of 5 noops)
+      phase_init_s          init_fn (k-means++/|| seeding + initial stats)
+      phase_kmeans_round_s  one fuzzy-k-means round, by differencing an
+                            iteration pinned to 1+reps rounds against one
+                            pinned to 1 round (dispatch cancels; epsilon=0
+                            makes the trip counts exact)
+      phase_ridge_s         ridge correction, amortized in-graph over a fit
+                            pinned to `reps` harmony iterations of 1 round
+      estep_hbm_gbps[_frac] effective bandwidth vs estep_traffic_model_gb
+      fused_xla_round_s     (Pallas configs only) the same round through the
+                            fused-XLA E-step — the per-chip cost a >1-chip
+                            mesh would see
+
+    The E-step, the Y/dist update, and the objective are ONE fused program
+    by design (the kernel emits the next round's centroid numerator and the
+    objective partials with no extra pass over R), so "kmeans_round" is
+    their joint cost.
+
+    Budgeted and best-effort: each probe program's FIRST execution may pay a
+    server-side compile on remote-tunnel backends (minutes, uncached
+    locally). When accumulated time exceeds `budget_s` (default
+    $BENCH_PHASE_BUDGET_S or 360), remaining probes are skipped and whatever
+    was measured is returned with a "phases_truncated" note.
+    """
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from ..engine import get_engine
+
+    if budget_s is None:
+        budget_s = float(os.environ.get("BENCH_PHASE_BUDGET_S", 360))
+    if hbm_peak_gbps is None:
+        hbm_peak_gbps = float(os.environ.get("BENCH_HBM_PEAK_GBPS", 819))
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    t_start = time.time()
+
+    class OverBudget(Exception):
+        pass
+
+    def check_budget():
+        if time.time() - t_start > budget_s:
+            raise OverBudget(f"phase-probe budget {budget_s}s exceeded")
+
+    def sync(out):
+        int(np.asarray(jax.tree.leaves(out)[0].ravel()[0]))
+
+    def timed(fn, *a):
+        sync(fn(*a))                                  # warm-up / compile
+        t0 = time.time()
+        sync(fn(*a))
+        return time.time() - t0
+
+    def iter_time(cfg_v):
+        """Time one iter_fn call (fresh state per call: iter_fn donates)."""
+        eng = get_engine(cfg_v, mesh)
+        st = eng.init_fn(data, params, key)
+        t_init_meas = timed(eng.init_fn, data, params, key)
+        sync(eng.iter_fn(st, data, params))           # warm-up / compile
+        st2 = eng.init_fn(data, params, key)
+        sync(st2)
+        t0 = time.time()
+        sync(eng.iter_fn(st2, data, params))
+        return time.time() - t0, t_init_meas
+
+    def round_time(base_cfg):
+        t = {}
+        for n_rounds in (reps + 1, 1):
+            check_budget()
+            cfg_v = dataclasses.replace(
+                base_cfg, max_iter_kmeans=n_rounds, epsilon_kmeans=0.0,
+                max_iter_harmony=1)
+            t[n_rounds], t_init_meas = iter_time(cfg_v)
+        # Guard against dispatch noise exceeding the differenced signal.
+        return max((t[reps + 1] - t[1]) / reps, 1e-6), t_init_meas
+
+    res = {}
+    try:
+        # Dispatch floor: every host-timed call through the (tunneled)
+        # runtime pays this; subtract it so phases sum to device time.
+        noop = jax.jit(lambda x: x + 1)
+        sync(noop(jnp.zeros(())))
+        d0 = min(timed(noop, jnp.zeros(())) for _ in range(5))
+        res["dispatch_s"] = round(d0, 4)
+
+        t_round, t_init_meas = round_time(cfg)
+        t_init = max(t_init_meas - d0, 0.0)
+        round_gb = estep_traffic_model_gb(cfg)
+        res["phase_init_s"] = round(t_init, 4)
+        res["phase_kmeans_round_s"] = round(t_round, 5)
+        res["estep_hbm_gbps"] = round(round_gb / t_round, 1)
+        res["estep_hbm_frac_of_peak"] = round(
+            round_gb / t_round / hbm_peak_gbps, 3)
+
+        # Ridge, amortized in-graph: fit = init + reps*(round + ridge).
+        check_budget()
+        cfg_r = dataclasses.replace(
+            cfg, max_iter_kmeans=1, epsilon_kmeans=0.0,
+            max_iter_harmony=reps, epsilon_harmony=-1e30)
+        t_fit_r = timed(get_engine(cfg_r, mesh).fit_fn, data, params, key)
+        t_ridge = max((t_fit_r - d0 - t_init) / reps - t_round, 0.0)
+        res["phase_ridge_s"] = round(t_ridge, 5)
+
+        if cfg.use_pallas:
+            # The multi-chip (fused-XLA) E-step's per-chip round cost —
+            # ~2x the Pallas kernel (its stats reductions re-read r from
+            # HBM, which the kernel keeps in VMEM).
+            cfg_x = dataclasses.replace(cfg, use_pallas=False,
+                                        use_fused_xla=True)
+            tx, _ = round_time(cfg_x)
+            res["fused_xla_round_s"] = round(tx, 5)
+    except OverBudget as e:
+        res["phases_truncated"] = str(e)
+    return res
