@@ -131,16 +131,21 @@ def profile_fit(cfg, mesh, data, params, key=None, reps: int = 16,
         return time.time() - t0
 
     def iter_time(cfg_v):
-        """Time one iter_fn call (fresh state per call: iter_fn donates)."""
+        """Time iter_fn (fresh state per call: iter_fn donates). Dispatch
+        jitter through a tunnel is one-sided (delays only), so take the min
+        of two measurements."""
         eng = get_engine(cfg_v, mesh)
         st = eng.init_fn(data, params, key)
         t_init_meas = timed(eng.init_fn, data, params, key)
         sync(eng.iter_fn(st, data, params))           # warm-up / compile
-        st2 = eng.init_fn(data, params, key)
-        sync(st2)
-        t0 = time.time()
-        sync(eng.iter_fn(st2, data, params))
-        return time.time() - t0, t_init_meas
+        best = float("inf")
+        for _ in range(2):
+            st2 = eng.init_fn(data, params, key)
+            sync(st2)
+            t0 = time.time()
+            sync(eng.iter_fn(st2, data, params))
+            best = min(best, time.time() - t0)
+        return best, t_init_meas
 
     def round_time(base_cfg):
         t = {}
