@@ -61,6 +61,10 @@ def _add_lisi(sub):
                         "(exact values; neighbors come from all cells) — "
                         "use for atlas-scale inputs where all-pairs kNN is "
                         "quadratic")
+    p.add_argument("--knn", choices=["exact", "approx"], default="exact",
+                   help="neighbor search: exact (reference semantics) or "
+                        "the TPU's hardware approximate top-k "
+                        "(recall ~0.95; ~36x faster at atlas scale)")
     p.add_argument("--out", default=None, help="output TSV (default: stdout)")
 
 
@@ -93,7 +97,7 @@ def main(argv=None):
         labels = args.labels.split(",")
         t0 = time.time()
         out = compute_lisi(X, meta, labels, perplexity=args.perplexity,
-                           sample=args.sample)
+                           sample=args.sample, knn=args.knn)
         if isinstance(out, tuple):
             lisi, qidx = out
             df = pd.DataFrame(lisi, columns=labels)

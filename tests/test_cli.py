@@ -45,6 +45,13 @@ def test_cli_lisi(files, capsys):
     assert (lisi["donor"] >= 1 - 1e-6).all()
     assert (lisi["donor"] <= 3 + 1e-6).all()
 
+    # --knn approx runs and stays in range too
+    out2 = str(d / "lisi_approx.tsv")
+    cli_main(["lisi", "--x", pcs, "--meta", meta, "--labels", "donor",
+              "--knn", "approx", "--out", out2])
+    la = pd.read_csv(out2, sep="\t")
+    assert (la["donor"] >= 1 - 1e-6).all()
+
 
 def test_harmony_integrate_helper():
     """scanpy-style entry point works on any AnnData-like object."""
