@@ -250,8 +250,17 @@ def bench_lisi_large(results):
     # Warm-up on ONE query batch (compiles the same batched-kNN executable
     # the full run uses); a full double-run would be ~10 min of pure
     # execution at this scale.
-    from harmonypy_tpu.lisi import _KNN_BATCH
+    from harmonypy_tpu.lisi import _KNN_BATCH, _simpson_label
+    import jax.numpy as jnp
     hm.compute_lisi(X, meta, ["batch"], mesh=m, sample=_KNN_BATCH)
+    # The simpson program's compile key depends on the query count; warm the
+    # FULL-N shape too (on dummy neighbors) so the first timed run below is
+    # not charged its cold compile while the second reuses it.
+    k = int(30 * 3) - 1
+    np.asarray(_simpson_label(jnp.ones((N, k), jnp.float32),
+                              jnp.zeros((N, k), jnp.int32),
+                              jnp.asarray(np.asarray(batches, np.int32)), 3,
+                              jnp.float32(np.log(30.0)), jnp.float32(1e-5)))
     t0 = time.time()
     vals = hm.compute_lisi(X, meta, ["batch"], mesh=m)
     dt = time.time() - t0

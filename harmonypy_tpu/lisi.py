@@ -132,6 +132,19 @@ def _knn_batched(Q, X, n_neighbors: int, mesh=None, chunk: int = 1024,
     return dist, idx
 
 
+@functools.lru_cache(maxsize=16)
+def _knn_sharded_fn(mesh, n_neighbors: int, chunk: int, approx: bool):
+    """Cached jitted shard_map for the mesh kNN: building it per call would
+    re-trace/compile an identical program for every 65k-query batch."""
+    from .parallel.mesh import AXIS
+    from jax.sharding import PartitionSpec as P
+
+    return jax.jit(jax.shard_map(
+        lambda q, x: _knn_impl(q, x, n_neighbors, chunk, approx),
+        mesh=mesh, in_specs=(P(AXIS, None), P()),
+        out_specs=(P(AXIS, None), P(AXIS, None))))
+
+
 def _knn_sharded(Q, X, n_neighbors: int, mesh, chunk: int = 1024,
                  approx: bool = False):
     """Mesh-parallel exact kNN: queries sharded over the cells axis, the
@@ -139,18 +152,11 @@ def _knn_sharded(Q, X, n_neighbors: int, mesh, chunk: int = 1024,
     ~100 MB at 858k cells — not a K x N state array). Zero collectives: each
     shard's (M_local, N) distance tiles and top-k are independent, so the
     values are bitwise identical to the single-device computation."""
-    from .parallel.mesh import AXIS
-    from jax.sharding import PartitionSpec as P
-
     D = int(mesh.devices.size)
     M = Q.shape[0]
     Mp = -(-M // D) * D
     Qp = jnp.zeros((Mp, Q.shape[1]), Q.dtype).at[:M].set(Q)
-    f = jax.jit(jax.shard_map(
-        lambda q, x: _knn_impl(q, x, n_neighbors, chunk, approx),
-        mesh=mesh, in_specs=(P(AXIS, None), P()),
-        out_specs=(P(AXIS, None), P(AXIS, None))))
-    dists, idxs = f(Qp, X)
+    dists, idxs = _knn_sharded_fn(mesh, n_neighbors, chunk, approx)(Qp, X)
     return dists[:M], idxs[:M]
 
 

@@ -26,7 +26,9 @@ def test_run_harmony_small(pbmc, n_devices):
     mesh = make_mesh(n_devices=n_devices)
     ho = hm.run_harmony(pcs, meta, ["donor"], mesh=mesh, verbose=False)
     cors = _correlations(ho.Z_corr, harmonized)
-    assert np.all(cors >= 0.9), f"correlations < 0.9: {cors}"
+    # the reference's own CI gate is 0.9 (tests/test_harmony.py:130); we
+    # measure 0.997+ and lock the margin in to catch quality regressions
+    assert np.all(cors >= 0.99), f"correlations < 0.99: {cors}"
 
 
 @pytest.mark.parametrize("n_devices", [1, 8])
@@ -41,7 +43,7 @@ def test_run_harmony_small_fused_xla_golden(pbmc, n_devices):
                         chunk_size=128)
     assert ho.cfg.use_fused_xla
     cors = _correlations(ho.Z_corr, harmonized)
-    assert np.all(cors >= 0.9), f"correlations < 0.9: {cors}"
+    assert np.all(cors >= 0.99), f"correlations < 0.99: {cors}"
 
 
 def test_objective_decreases(pbmc):

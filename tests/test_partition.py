@@ -8,7 +8,7 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from harmonypy_tpu.config import EngineConfig, cell_tile_geom, cdiv
+from harmonypy_tpu.config import EngineConfig, cell_tile_geom
 from harmonypy_tpu.ops.partition import (
     block_ranks, global_slot_table, iid_blocks, partition_geometry,
     single_device_tables, stripe_blocks)
