@@ -236,11 +236,14 @@ def bench_lisi_large(results):
 
     @jax.jit
     def gen(key):
+        # Mild batch shift (0.3 sigma): at this density a 1.5-sigma shift
+        # fully separates batches within every group and LISI degenerates to
+        # exactly 1.0 for every cell — a correct but uninformative value.
         kc, kg, kb, ks, kn = jax.random.split(key, 5)
         centers = jax.random.normal(kc, (24, d), jnp.float32) * 5.0
         groups = jax.random.randint(kg, (N,), 0, 24)
         batches = jax.random.randint(kb, (N,), 0, 3)
-        shifts = jax.random.normal(ks, (3, d), jnp.float32) * 1.5
+        shifts = jax.random.normal(ks, (3, d), jnp.float32) * 0.3
         return (centers[groups] + shifts[batches]
                 + jax.random.normal(kn, (N, d), jnp.float32)), batches
 

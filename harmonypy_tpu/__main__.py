@@ -64,7 +64,7 @@ def _add_lisi(sub):
     p.add_argument("--knn", choices=["exact", "approx"], default="exact",
                    help="neighbor search: exact (reference semantics) or "
                         "the TPU's hardware approximate top-k "
-                        "(recall ~0.95; ~36x faster at atlas scale)")
+                        "(recall ~0.95; ~50x faster at atlas scale)")
     p.add_argument("--out", default=None, help="output TSV (default: stdout)")
 
 
