@@ -81,6 +81,12 @@ def test_lisi_sharded_matches_single_device():
     np.testing.assert_array_equal(idx1, idx8)
     np.testing.assert_array_equal(v1, v8)
 
+    # knn="approx" composes with mesh= (same flag threading, sharded)
+    a8 = hm.compute_lisi(X, meta, ["b"], mesh=make_mesh(n_devices=8),
+                         knn="approx")
+    a1 = hm.compute_lisi(X, meta, ["b"], knn="approx")
+    np.testing.assert_array_equal(a1, a8)
+
 
 def test_lisi_tiled_knn_matches_single_tile(monkeypatch):
     """The two-stage tiled kNN (reference set scanned in tiles, per-tile
