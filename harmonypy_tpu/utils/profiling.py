@@ -139,7 +139,7 @@ def profile_fit(cfg, mesh, data, params, key=None, reps: int = 16,
         t_init_meas = timed(eng.init_fn, data, params, key)
         sync(eng.iter_fn(st, data, params))           # warm-up / compile
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             st2 = eng.init_fn(data, params, key)
             sync(st2)
             t0 = time.time()
@@ -172,9 +172,14 @@ def profile_fit(cfg, mesh, data, params, key=None, reps: int = 16,
         round_gb = estep_traffic_model_gb(cfg)
         res["phase_init_s"] = round(t_init, 4)
         res["phase_kmeans_round_s"] = round(t_round, 5)
-        res["estep_hbm_gbps"] = round(round_gb / t_round, 1)
-        res["estep_hbm_frac_of_peak"] = round(
-            round_gb / t_round / hbm_peak_gbps, 3)
+        frac = round_gb / t_round / hbm_peak_gbps
+        if frac <= 1.0:
+            res["estep_hbm_gbps"] = round(round_gb / t_round, 1)
+            res["estep_hbm_frac_of_peak"] = round(frac, 3)
+        else:
+            # A differenced round implying more than peak HBM bandwidth is
+            # dispatch jitter, not physics — flag instead of reporting it.
+            res["estep_round_noisy"] = True
 
         # Ridge, amortized in-graph: fit = init + reps*(round + ridge).
         check_budget()
