@@ -66,6 +66,7 @@ def fused_update_r_xla3(slots, granks, removal, Z3, P3, R3, Y, sigma, theta,
     """
     geom = partition_geometry(cfg)
     K, d, B = cfg.K, cfg.d, cfg.B
+    Js, CH = geom.J_shard, geom.CH
 
     def body(carry, inp):
         O, E, R3, cache, ybuf, kbuf = carry
@@ -87,10 +88,16 @@ def fused_update_r_xla3(slots, granks, removal, Z3, P3, R3, Y, sigma, theta,
         r = scale * jnp.einsum("kb,jbc->jkc", wdiv, pb)        # dummy cols -> 0
         r = r / jnp.maximum(jnp.sum(r, axis=1, keepdims=True), CLAMP)
 
-        # Per-chunk statistics — fixed (.., CH) shapes on every mesh.
-        sum_c = jnp.einsum("jkc->jk", r)                       # (Js, K)
-        o_c = jnp.einsum("jkc,jbc->jkb", r, pb)                # (Js, K, B)
-        stats = jnp.concatenate([sum_c[:, :, None], o_c], axis=2)
+        # Per-chunk statistics — fixed (.., CH) shapes on every mesh. One
+        # batched MXU contraction produces ALL linear statistics of r (block
+        # mass, O contribution, centroid numerator) in a single pass over r
+        # instead of three: G = [1; Phi; Z] stacked on the feature axis.
+        G = jnp.concatenate(
+            [jnp.ones((Js, 1, CH), jnp.float32), pb,
+             zb.astype(jnp.float32)], axis=1)                  # (Js, 1+B+d, CH)
+        S = jnp.einsum("jkc,jxc->jkx", r, G)                   # (Js, K, 1+B+d)
+        stats = S[:, :, : B + 1]                               # (Js, K, B+1)
+        yk_c = S[:, :, B + 1:]                                 # (Js, K, d)
 
         # Re-add the block globally (harmony.py:506-507) through the fixed
         # rank frame: bitwise identical at any device count.
@@ -98,8 +105,7 @@ def fused_update_r_xla3(slots, granks, removal, Z3, P3, R3, Y, sigma, theta,
         E = E + add[:, 0:1] * Pr_b[None, :]
         O = O + add[:, 1:]
 
-        # Per-chunk centroid-numerator and objective partials.
-        y_c = jnp.einsum("jdc,jkc->jdk", zb, r)                # (Js, d, K)
+        # Per-chunk objective partials.
         kerr_c, ent_c = chunk_objective_partials(
             r, dist, sigma, k_axis=1, chunk_axis=0)            # (Js,) each
 
@@ -108,21 +114,22 @@ def fused_update_r_xla3(slots, granks, removal, Z3, P3, R3, Y, sigma, theta,
         # Storage cast only — all statistics above used the fp32 values.
         R3 = R3.at[slots_b].set(r.astype(R3.dtype))
         cache = cache.at[slots_b].set(stats)
-        ybuf = ybuf.at[slots_b].set(y_c)
+        ybuf = ybuf.at[slots_b].set(yk_c)
         kbuf = kbuf.at[slots_b].set(jnp.stack([kerr_c, ent_c], axis=1))
         return (O, E, R3, cache, ybuf, kbuf), None
 
     nc1 = geom.nc_cap + 1
     init = (O, E, R3,
             jnp.zeros((nc1, K, B + 1), jnp.float32),
-            jnp.zeros((nc1, d, K), jnp.float32),
+            jnp.zeros((nc1, K, d), jnp.float32),
             jnp.zeros((nc1, 2), jnp.float32))
     (O, E, R3, cache, ybuf, kbuf), _ = lax.scan(
         body, init, (slots, granks, removal))
 
     # Global fixed-frame reductions of the per-chunk buffers.
     gids = shard_chunk_gids(geom, axis_name)
-    Ysum = frame_sum(ybuf[: geom.nc_cap], gids, geom.NC_fixed, axis_name)
+    Ysum = frame_sum(ybuf[: geom.nc_cap], gids, geom.NC_fixed,
+                     axis_name).T                              # -> (d, K)
     ko = frame_sum(kbuf[: geom.nc_cap], gids, geom.NC_fixed, axis_name)
     return (R3, O, E, Ysum, cache, ko[0], ko[1])
 
