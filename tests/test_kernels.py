@@ -177,6 +177,7 @@ def test_update_r_multidevice_consistent_stats():
 
 def test_kmeans_init_quality():
     """k-means++ + Lloyd should achieve inertia comparable to sklearn."""
+    pytest.importorskip("sklearn")
     from sklearn.cluster import KMeans
     rng = np.random.default_rng(0)
     X = rng.normal(size=(400, 5)).astype(np.float32)
