@@ -74,7 +74,12 @@ def _knn_impl(Q: jnp.ndarray, X: jnp.ndarray, n_neighbors: int,
         def one_tile(t0):
             Xt = lax.dynamic_slice(Xp, (t0, jnp.zeros((), t0.dtype)), (T, d))
             st = lax.dynamic_slice(sqp, (t0,), (T,))
-            d2 = qsq[:, None] + st[None, :] - 2.0 * (Qc @ Xt.T)  # (chunk, T)
+            # full fp32 GEMM: LISI is an evaluation metric with an exact
+            # golden contract vs the R package, and bf16-input MXU distances
+            # can flip near-tied neighbor ranks; top-k dominates the runtime
+            # anyway.
+            d2 = qsq[:, None] + st[None, :] - 2.0 * jnp.matmul(
+                Qc, Xt.T, precision=lax.Precision.HIGHEST)     # (chunk, T)
             if approx:
                 neg, idx = lax.approx_max_k(-d2, k, recall_target=0.95)
             else:
