@@ -9,6 +9,8 @@ a `mesh` kwarg additionally allows running over an explicit device mesh.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 
@@ -264,6 +266,12 @@ class Harmony:
                 f"back to the per-cell update, which is several times slower "
                 f"at this scale. A smaller chunk_size usually restores the "
                 f"fused path.")
+        # Capacity preflight (the CPU reference has host-RAM capacity,
+        # harmony.py:35-46; an accelerator has a hard HBM ceiling): fail
+        # fast with remedies instead of a raw XLA OOM mid-compile.
+        if not os.environ.get("HARMONYPY_SKIP_CAPACITY_CHECK"):
+            from .utils.memory import check_capacity
+            check_capacity(cfg, mesh)
         engine = get_engine(cfg, mesh)
 
         lamb_arr = np.atleast_1d(np.asarray(lamb, dtype=np.float32))
@@ -287,8 +295,9 @@ class Harmony:
 
         key = jax.random.PRNGKey(random_state)
         if resume_from is not None:
-            from .utils.checkpoint import load_state
+            from .utils.checkpoint import load_state, validate_state
             state = load_state(resume_from)
+            validate_state(state, cfg, resume_from)
             shardings = jax.tree.map(
                 lambda spec: jax.sharding.NamedSharding(mesh, spec),
                 engine.state_specs,

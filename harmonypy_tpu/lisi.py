@@ -29,11 +29,18 @@ _KNN_TILE = 131_072  # reference-set tile (memory cap ~ chunk x tile floats)
 
 
 def _knn_impl(Q: jnp.ndarray, X: jnp.ndarray, n_neighbors: int,
-              chunk: int = 1024, approx: bool = False):
+              chunk: int = 1024, approx: bool = False, qid=None):
     """Brute-force kNN of queries Q (M, d) against reference set X
     (N, d). Returns (distances, indices), each (M, n_neighbors), the
     self-neighbor dropped (reference lisi.py:53-57). Q must be a subset of X
     rows (each query's nearest hit is itself).
+
+    qid: optional (M,) int32 global row id of each query in X. When given,
+    the self-neighbor is dropped BY ID (the entry whose index equals the
+    query's own row id; if absent — possible under approx top-k, which can
+    miss the self point at recall < 1 — the worst candidate is dropped
+    instead). Without qid the first column is dropped positionally, which is
+    only sound for exact top-k.
 
     Two-stage at scale: when N exceeds _KNN_TILE, the reference set is
     scanned in tiles — top-k per (chunk, tile) slab, then top-k over the
@@ -54,6 +61,9 @@ def _knn_impl(Q: jnp.ndarray, X: jnp.ndarray, n_neighbors: int,
     n_chunks = -(-M // chunk)
     M_pad = n_chunks * chunk
     Qp = jnp.zeros((M_pad, d), Q.dtype).at[:M].set(Q)
+    qidp = (None if qid is None else
+            jnp.full((M_pad,), -1, jnp.int32).at[:M].set(
+                qid.astype(jnp.int32)))
 
     n_tiles = -(-N // _KNN_TILE)
     T = _KNN_TILE if n_tiles > 1 else N
@@ -95,13 +105,27 @@ def _knn_impl(Q: jnp.ndarray, X: jnp.ndarray, n_neighbors: int,
             idxs = jnp.moveaxis(idxs, 0, 1).reshape(chunk, n_tiles * k)
             neg, which = lax.top_k(negs, k)
             idx = jnp.take_along_axis(idxs, which, axis=1)
-        return jnp.sqrt(jnp.maximum(-neg, 0.0)), idx
+        dist = jnp.sqrt(jnp.maximum(-neg, 0.0))
+        if qidp is None:
+            return dist[:, 1:], idx[:, 1:]            # drop self positionally
+        # Drop the self-neighbor by id: remove the entry matching the
+        # query's own row id, or the worst candidate if self is absent
+        # (approx top-k at recall < 1 can drop the self point — discarding
+        # column 0 there would throw away the true nearest neighbor).
+        qc = lax.dynamic_slice(qidp, (start,), (chunk,))
+        match = idx == qc[:, None]
+        pos = jnp.where(jnp.any(match, axis=1),
+                        jnp.argmax(match, axis=1), k - 1)       # (chunk,)
+        keep = jnp.arange(k - 1, dtype=jnp.int32)[None, :]
+        keep = keep + (keep >= pos[:, None])                    # skip `pos`
+        return (jnp.take_along_axis(dist, keep, axis=1),
+                jnp.take_along_axis(idx, keep, axis=1))
 
     starts = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
     dists, idxs = lax.map(one_chunk, starts)
-    dists = dists.reshape(M_pad, k)[:M]
-    idxs = idxs.reshape(M_pad, k)[:M]
-    return dists[:, 1:], idxs[:, 1:]  # drop self
+    dists = dists.reshape(M_pad, n_neighbors)[:M]
+    idxs = idxs.reshape(M_pad, n_neighbors)[:M]
+    return dists, idxs
 
 
 _knn = jax.jit(_knn_impl, static_argnums=(2, 3, 4))
@@ -111,7 +135,7 @@ _KNN_BATCH = 65_536  # queries per dispatch (bounds single-program runtime)
 
 
 def _knn_batched(Q, X, n_neighbors: int, mesh=None, chunk: int = 1024,
-                 approx: bool = False):
+                 approx: bool = False, qid=None):
     """Host-level query batching around the jitted kNN: one dispatch per
     _KNN_BATCH queries (padded to a full batch, so exactly two executables:
     the batch shape and nothing else). Keeps any single device program's
@@ -121,17 +145,20 @@ def _knn_batched(Q, X, n_neighbors: int, mesh=None, chunk: int = 1024,
     independent)."""
     M = Q.shape[0]
     if M <= _KNN_BATCH:
-        return (_knn_sharded(Q, X, n_neighbors, mesh, chunk, approx)
+        return (_knn_sharded(Q, X, n_neighbors, mesh, chunk, approx, qid)
                 if mesh is not None and int(mesh.devices.size) > 1
-                else _knn(Q, X, n_neighbors, chunk, approx))
+                else _knn(Q, X, n_neighbors, chunk, approx, qid))
     outs = []
     for lo in range(0, M, _KNN_BATCH):
         Qb = Q[lo: lo + _KNN_BATCH]
+        qb = None if qid is None else qid[lo: lo + _KNN_BATCH]
         if Qb.shape[0] < _KNN_BATCH:  # pad: reuse the same executable
+            pad = _KNN_BATCH - Qb.shape[0]
             Qb = jnp.concatenate(
-                [Qb, jnp.zeros((_KNN_BATCH - Qb.shape[0], Q.shape[1]),
-                               Q.dtype)])
-        outs.append(_knn_batched(Qb, X, n_neighbors, mesh, chunk, approx))
+                [Qb, jnp.zeros((pad, Q.shape[1]), Q.dtype)])
+            if qb is not None:
+                qb = jnp.concatenate([qb, jnp.full((pad,), -1, jnp.int32)])
+        outs.append(_knn_batched(Qb, X, n_neighbors, mesh, chunk, approx, qb))
     dist = jnp.concatenate([o[0] for o in outs])[:M]
     idx = jnp.concatenate([o[1] for o in outs])[:M]
     return dist, idx
@@ -145,13 +172,13 @@ def _knn_sharded_fn(mesh, n_neighbors: int, chunk: int, approx: bool):
     from jax.sharding import PartitionSpec as P
 
     return jax.jit(jax.shard_map(
-        lambda q, x: _knn_impl(q, x, n_neighbors, chunk, approx),
-        mesh=mesh, in_specs=(P(AXIS, None), P()),
+        lambda q, x, i: _knn_impl(q, x, n_neighbors, chunk, approx, i),
+        mesh=mesh, in_specs=(P(AXIS, None), P(), P(AXIS)),
         out_specs=(P(AXIS, None), P(AXIS, None))))
 
 
 def _knn_sharded(Q, X, n_neighbors: int, mesh, chunk: int = 1024,
-                 approx: bool = False):
+                 approx: bool = False, qid=None):
     """Mesh-parallel exact kNN: queries sharded over the cells axis, the
     reference set replicated (it is the d-dimensional input embedding —
     ~100 MB at 858k cells — not a K x N state array). Zero collectives: each
@@ -161,7 +188,10 @@ def _knn_sharded(Q, X, n_neighbors: int, mesh, chunk: int = 1024,
     M = Q.shape[0]
     Mp = -(-M // D) * D
     Qp = jnp.zeros((Mp, Q.shape[1]), Q.dtype).at[:M].set(Q)
-    dists, idxs = _knn_sharded_fn(mesh, n_neighbors, chunk, approx)(Qp, X)
+    if qid is None:
+        qid = jnp.arange(M, dtype=jnp.int32)
+    qp = jnp.full((Mp,), -1, jnp.int32).at[:M].set(qid.astype(jnp.int32))
+    dists, idxs = _knn_sharded_fn(mesh, n_neighbors, chunk, approx)(Qp, X, qp)
     return dists[:M], idxs[:M]
 
 
@@ -283,8 +313,11 @@ def compute_lisi(
     # on device — no host round trip.
     Xd = X.astype(dtype) if on_device else jnp.asarray(X, dtype)
     Qd = Xd[query_idx] if subset else Xd
+    # Self-neighbor removal is by row id (robust to approx top-k missing the
+    # self point, and to exact-distance ties among duplicate rows).
+    qid = jnp.asarray(query_idx if subset else np.arange(n_cells), jnp.int32)
     dist, idx = _knn_batched(Qd, Xd, int(perplexity * 3) - 1, mesh,
-                             approx=(knn == "approx"))
+                             approx=(knn == "approx"), qid=qid)
     logU = jnp.asarray(np.log(perplexity), dist.dtype)
     tol = jnp.asarray(1e-5, dist.dtype)
 

@@ -144,8 +144,10 @@ def group_by_block(my_blocks, nb: int, width: int, fill: int,
     slots hold `fill`. If `extra` is given, the matching per-item values are
     co-scattered (unfilled -> `extra_fill`)."""
     n = my_blocks.shape[0]
-    # Stable grouping: sort by (block, local id ascending).
-    order = jnp.argsort(my_blocks * (n + 1) + jnp.arange(n, dtype=jnp.int32))
+    # Stable grouping by block id: a stable sort preserves ascending local-id
+    # order within each block. (A composite int32 key my_blocks*(n+1)+id
+    # would overflow 2^31 for large N_local x n_blocks.)
+    order = jnp.argsort(my_blocks, stable=True).astype(jnp.int32)
     sb = my_blocks[order]
     cnt = jnp.sum(my_blocks[:, None] == jnp.arange(nb + 1)[None, :], axis=0)
     offs = jnp.concatenate(

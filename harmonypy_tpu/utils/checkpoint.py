@@ -42,6 +42,68 @@ def save_state(path: str, state: HarmonyState) -> None:
         np.savez(path, **arrays)
 
 
+def expected_leaf_shapes(cfg) -> dict:
+    """Global (cross-shard) shape of every HarmonyState leaf under `cfg`.
+
+    Checkpoint leaves are saved as GLOBAL arrays, so their shapes encode the
+    engine geometry they were written under: N_pad (device count + chunk
+    padding), history lengths (max_iter_*), R dtype (low_memory), cache rows
+    (chunk_size x mesh). Used to validate resume compatibility up front."""
+    nc1 = (cfg.N_local // cfg.chunk_size) if cfg.fused_estep else 1
+    cache_rows = cfg.n_devices * nc1
+    return {
+        "Z_corr": (cfg.d, cfg.N_pad),
+        "Z_cos": (cfg.d, cfg.N_pad),
+        "R": (cfg.K, cfg.N_pad),
+        "Y": (cfg.d, cfg.K),
+        "O": (cfg.K, cfg.B),
+        "E": (cfg.K, cfg.B),
+        "obj_kmeans": (cfg.kmeans_hist_len,),
+        "obj_dist": (cfg.kmeans_hist_len,),
+        "obj_entropy": (cfg.kmeans_hist_len,),
+        "obj_cross": (cfg.kmeans_hist_len,),
+        "n_kmeans": (),
+        "obj_harmony": (cfg.harmony_hist_len,),
+        "n_harmony": (),
+        "kmeans_rounds": (cfg.max_iter_harmony,),
+        "n_rounds": (),
+        "converged": (),
+        "cache": ((cache_rows, cfg.K, cfg.B + 1) if cfg.fused_estep
+                  else (cfg.n_devices, 1, 1)),
+    }
+
+
+def validate_state(state: HarmonyState, cfg, path: str = "<checkpoint>"):
+    """Raise ValueError (with every mismatch listed) when a loaded checkpoint
+    is incompatible with the current engine geometry. Without this, a resume
+    under different max_iter/chunk_size/mesh/low_memory settings dies inside
+    jax.device_put with an opaque shape error."""
+    expected = expected_leaf_shapes(cfg)
+    problems = []
+    for name in state._fields:
+        leaf = getattr(state, name)
+        if leaf is None:
+            continue  # optional trailing field (rebuilt by the resume path)
+        want = expected.get(name)
+        got = tuple(leaf.shape)
+        if want is not None and got != want:
+            problems.append(f"{name}: shape {got}, expected {want}")
+    r = state.R
+    if r is not None and str(r.dtype) != cfg.r_dtype:
+        problems.append(
+            f"R: dtype {r.dtype}, expected {cfg.r_dtype} "
+            f"(low_memory={'True' if cfg.r_dtype == 'bfloat16' else 'False'})")
+    if problems:
+        raise ValueError(
+            f"Checkpoint {path} is incompatible with the current "
+            f"configuration — it was written under different engine "
+            f"geometry (max_iter_harmony/max_iter_kmeans, chunk_size, "
+            f"device count, or low_memory). Mismatches: "
+            + "; ".join(problems)
+            + ". Resume with the settings the checkpoint was written "
+            "under, or re-run from scratch.")
+
+
 def load_state(path: str) -> HarmonyState:
     """Load a snapshot. Checkpoints from before optional trailing fields
     existed load with those fields as their defaults (e.g. cache=None, which

@@ -1,0 +1,145 @@
+"""Per-device memory envelope + capacity preflight.
+
+The CPU reference holds all state in host RAM (reference harmony.py:35-46) —
+any workload that fits in RAM runs. An accelerator chip has a hard HBM
+ceiling instead, and XLA's out-of-memory error surfaces as a raw allocator
+failure long after the user could have acted. This module models the
+per-device footprint of a Harmony fit up front (docs/design.md memory
+envelope) so `run_harmony` can fail fast with an actionable message — or
+auto-select a lower-footprint configuration — before any compilation starts.
+
+The model is intentionally a slight over-estimate (a fixed head-room factor
+covers XLA temporaries whose exact size depends on fusion decisions).
+"""
+
+from __future__ import annotations
+
+import os
+
+from ..config import EngineConfig
+
+# Fraction of the device's reported capacity the plan may use: leaves room
+# for XLA scratch, collectives buffers, and allocator fragmentation.
+_HEADROOM = 0.92
+# Multiplier on the modeled array bytes for fusion-dependent temporaries.
+_SLACK = 1.12
+
+
+def _fused_chunk_rows(cfg: EngineConfig) -> int:
+    return cfg.N_local // cfg.chunk_size  # nc_cap + 1 (incl. dummy chunk)
+
+
+def memory_envelope(cfg: EngineConfig) -> dict:
+    """Modeled peak per-device bytes of a fit under `cfg`, by component.
+
+    Returns a dict of component -> bytes plus "total" (with slack applied).
+    """
+    Nl, K, d, B = cfg.N_local, cfg.K, cfg.d, cfg.B
+    r_bytes = 2 if cfg.r_dtype == "bfloat16" else 4
+    f = 4  # float32
+
+    env = {
+        "R": K * Nl * r_bytes,
+        "Z (orig+corr+cos)": 3 * d * Nl * f,
+        "Phi+mask": (B + 1) * Nl * f,
+    }
+    if cfg.fused_estep:
+        nc1 = _fused_chunk_rows(cfg)
+        # Per-chunk stats cache + the fused-XLA path's per-chunk centroid /
+        # objective buffers (ops/update_r_fused_xla.py scan carries).
+        env["chunk caches"] = nc1 * K * (2 * (B + 1) + d + 2) * f
+        if not cfg.use_pallas:
+            # Per-block working slabs: (J_shard, {d,B,K}, CH) gathers plus
+            # the dist/scale/r intermediates at (J_shard, K, CH).
+            from ..ops.partition import partition_geometry
+            geom = partition_geometry(cfg)
+            env["E-step slabs"] = geom.J_shard * cfg.chunk_size * (
+                4 * K + d + 2 * B + 1 + d) * f
+    else:
+        # Per-cell path: dist_mat + scale_dist materialize at (K, N_local),
+        # and the block scatter pays one extra full copy of R.
+        env["dist+scale"] = 2 * K * Nl * f
+        env["R copy (block scatter)"] = K * Nl * r_bytes
+    # k-means init: replicated subsample + (K, S) distance slabs.
+    S = min(cfg.kmeanspp_sample, cfg.N)
+    T = max(cfg.kmeanspp_trials, 2)
+    env["kmeans init"] = S * (d + T * K) * f  # cand_d2 is (T|K, S)-scale
+
+    total = sum(env.values())
+    env["total"] = int(total * _SLACK)
+    return env
+
+
+def device_capacity_bytes(device) -> int | None:
+    """Usable bytes on `device`, or None when unknown (e.g. CPU backends).
+
+    Honors $HARMONYPY_DEVICE_MEM_BYTES as an override (testing / CPU caps).
+    """
+    override = os.environ.get("HARMONYPY_DEVICE_MEM_BYTES")
+    if override:
+        return int(override)
+    try:
+        stats = device.memory_stats()
+    except Exception:
+        return None
+    if not stats:
+        return None
+    limit = stats.get("bytes_limit") or stats.get("bytes_reservable_limit")
+    return int(limit) if limit else None
+
+
+class CapacityError(RuntimeError):
+    """The configured fit cannot fit in device memory; the message names the
+    concrete remedies (more devices / low_memory / smaller problem)."""
+
+
+def _fmt(b: float) -> str:
+    return f"{b / 1e9:.2f} GB"
+
+
+def check_capacity(cfg: EngineConfig, mesh) -> None:
+    """Raise CapacityError when the modeled envelope exceeds the per-device
+    capacity. No-op when the capacity is unknown (CPU without override)."""
+    cap = device_capacity_bytes(mesh.devices.flat[0])
+    if cap is None:
+        return
+    budget = int(cap * _HEADROOM)
+    env = memory_envelope(cfg)
+    if env["total"] <= budget:
+        return
+
+    # Build remedies: low_memory, then the minimum device count that fits.
+    remedies = []
+    if cfg.r_dtype != "bfloat16":
+        import dataclasses
+        cfg_lm = dataclasses.replace(cfg, r_dtype="bfloat16")
+        lm_total = memory_envelope(cfg_lm)["total"]
+        if lm_total <= budget:
+            remedies.append(
+                f"pass low_memory=True (bfloat16 R): modeled "
+                f"{_fmt(lm_total)}/device fits")
+        else:
+            remedies.append(
+                f"low_memory=True shrinks the model to {_fmt(lm_total)}"
+                f"/device (still over budget)")
+    import dataclasses
+    for n in (2, 4, 8, 16, 32, 64, 128, 256):
+        if n <= cfg.n_devices:
+            continue
+        cfg_n = dataclasses.replace(cfg, n_devices=n)
+        if memory_envelope(cfg_n)["total"] <= budget:
+            remedies.append(
+                f"run on >= {n} devices (pass a {n}-device mesh): modeled "
+                f"{_fmt(memory_envelope(cfg_n)['total'])}/device fits")
+            break
+
+    parts = ", ".join(f"{k} {_fmt(v)}" for k, v in env.items()
+                      if k != "total")
+    raise CapacityError(
+        f"Modeled per-device memory for N={cfg.N}, K={cfg.K}, d={cfg.d}, "
+        f"B={cfg.B} on {cfg.n_devices} device(s) is {_fmt(env['total'])} "
+        f"({parts}), exceeding the usable capacity "
+        f"{_fmt(budget)} (of {_fmt(cap)}). Remedies: "
+        + ("; ".join(remedies) if remedies else
+           "reduce N/K or use more devices")
+        + ". Set HARMONYPY_SKIP_CAPACITY_CHECK=1 to attempt the run anyway.")
