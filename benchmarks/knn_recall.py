@@ -1,0 +1,83 @@
+"""Approx-kNN recall vs exact, on-chip (VERDICT r2 #5).
+
+The LISI `knn="approx"` mode uses the TPU's PartialReduce operator
+(lax.approx_max_k, recall_target=0.95 per reference tile). The CPU test
+suite cannot measure the real operator (the CPU lowering falls back to an
+exact sort), so this harness runs BOTH modes on the actual backend at
+>= 100k cells and reports:
+
+  approx_knn_recall        mean fraction of exact neighbor ids recovered
+  approx_knn_lisi_mad      mean |LISI_approx - LISI_exact| per cell
+
+Usage: python benchmarks/knn_recall.py [--n 131072] [--queries 16384]
+Prints one JSON line; also importable (bench.py calls measure()).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(os.path.dirname(__file__), "..",
+                                   ".jax_cache"))
+
+import numpy as np
+
+
+def measure(n: int = 131_072, n_queries: int = 16_384, d: int = 29,
+            perplexity: float = 30, seed: int = 0) -> dict:
+    import jax.numpy as jnp
+    import pandas as pd
+
+    from harmonypy_tpu.lisi import _knn_batched, _simpson_label
+
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(size=(24, d)).astype(np.float32) * 5.0
+    g = rng.integers(0, 24, size=n)
+    b = rng.integers(0, 3, size=n)
+    shifts = rng.normal(size=(3, d)).astype(np.float32) * 1.5
+    X = (centers[g] + shifts[b]
+         + rng.normal(size=(n, d)).astype(np.float32))
+
+    k = int(perplexity * 3) - 1
+    Xd = jnp.asarray(X)
+    qid = jnp.arange(n_queries, dtype=jnp.int32)
+    Qd = Xd[:n_queries]
+    d_ex, i_ex = _knn_batched(Qd, Xd, k, qid=qid)
+    d_ap, i_ap = _knn_batched(Qd, Xd, k, approx=True, qid=qid)
+    i_ex = np.asarray(i_ex)
+    i_ap = np.asarray(i_ap)
+
+    recall = np.mean([
+        len(set(i_ex[q]) & set(i_ap[q])) / k for q in range(n_queries)])
+
+    labels = pd.Categorical([f"b{i}" for i in b])
+    codes = jnp.asarray(np.asarray(labels.codes, np.int32))
+    logU = jnp.asarray(np.log(perplexity), d_ex.dtype)
+    tol = jnp.asarray(1e-5, d_ex.dtype)
+    lisi_ex = 1.0 / np.asarray(_simpson_label(
+        d_ex, i_ex, codes, len(labels.categories), logU, tol))
+    lisi_ap = 1.0 / np.asarray(_simpson_label(
+        d_ap, jnp.asarray(i_ap), codes, len(labels.categories), logU, tol))
+    mad = float(np.mean(np.abs(lisi_ex - lisi_ap)))
+
+    return {"approx_knn_recall": round(float(recall), 4),
+            "approx_knn_lisi_mad": round(mad, 5),
+            "approx_knn_n": n, "approx_knn_queries": n_queries}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=131_072)
+    ap.add_argument("--queries", type=int, default=16_384)
+    args = ap.parse_args()
+    import jax
+    res = measure(args.n, args.queries)
+    res["platform"] = jax.devices()[0].platform
+    print(json.dumps(res), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -115,33 +115,52 @@ def _kmeansbb_seed(key, X, cfg: EngineConfig):
     i0 = jnp.argmax(jax.random.gumbel(k0, (S,), jnp.float32))
     n_cand = 1 + R * M
     c0 = X[:, i0][:, None]                                      # (d, 1)
-    C = jnp.zeros((d, n_cand), jnp.float32).at[:, 0].set(c0[:, 0])
-    d2 = cand_d2(c0)[0]
+    C0 = jnp.zeros((d, n_cand), jnp.float32).at[:, 0].set(c0[:, 0])
 
-    for r in range(R):
+    # Oversampling rounds as a scan (an unrolled Python loop here compiled
+    # R copies of the top-k + GEMM machinery — measured ~24 s of client
+    # XLA compile at S=131k, the single largest compile cost of the fit
+    # program; the scanned body compiles once).
+    def round_body(carry, r):
+        C, d2, key = carry
         key, kr = jax.random.split(key)
         # Gumbel top-M: M draws w/o replacement, P(i) proportional to d2.
+        # Selection uses the TPU's approximate top-k (PartialReduce): for a
+        # randomized candidate draw, per-tile recall 0.95 is just another
+        # source of sampling noise, and the exact lax.top_k lowering costs
+        # ~12 s of XLA compile at S=131k vs 0.5 s for this (measured; sort
+        # compile dominates the whole fit program's compile time otherwise).
         scores = _safe_log(d2) + jax.random.gumbel(kr, (S,), jnp.float32)
-        _, sel = lax.top_k(scores, M)
+        _, sel = lax.approx_max_k(scores, M)
         new_c = X[:, sel]                                       # (d, M)
-        C = lax.dynamic_update_slice(C, new_c, (0, 1 + r * M))
+        C = lax.dynamic_update_slice(C, new_c, (jnp.int32(0), 1 + r * M))
         d2 = jnp.minimum(d2, jnp.min(cand_d2(new_c), axis=0))
+        return (C, d2, key), None
 
-    # Candidate weights: nearest-candidate counts over the sample.
+    (C, d2, key), _ = lax.scan(
+        round_body, (C0, cand_d2(c0)[0], key),
+        jnp.arange(R, dtype=jnp.int32))
+
+    # Candidate weights: nearest-candidate counts over the sample, scanned
+    # over candidate blocks.
     BLK = 128
     n_pad = -(-n_cand // BLK) * BLK
     Cp = jnp.full((d, n_pad), jnp.inf, jnp.float32).at[:, :n_cand].set(C)
-    best = jnp.full((S,), jnp.inf, jnp.float32)
-    bidx = jnp.zeros((S,), jnp.int32)
-    for blk in range(0, n_pad, BLK):
-        Cb = lax.dynamic_slice(Cp, (0, blk), (d, BLK))
+
+    def blk_body(carry, blk):
+        best, bidx = carry
+        Cb = lax.dynamic_slice(Cp, (jnp.int32(0), blk), (d, BLK))
         Db = jnp.where(jnp.isfinite(_sq_norms(Cb))[:, None],
                        _sq_norms(Cb)[:, None] - 2.0 * (Cb.T @ X), jnp.inf)
         v = jnp.min(Db, axis=0)
         i = jnp.argmin(Db, axis=0).astype(jnp.int32) + blk
         upd = v < best
-        best = jnp.where(upd, v, best)
-        bidx = jnp.where(upd, i, bidx)
+        return (jnp.where(upd, v, best), jnp.where(upd, i, bidx)), None
+
+    (best, bidx), _ = lax.scan(
+        blk_body,
+        (jnp.full((S,), jnp.inf, jnp.float32), jnp.zeros((S,), jnp.int32)),
+        jnp.arange(0, n_pad, BLK, dtype=jnp.int32))
     w = (jnp.zeros((n_cand,), jnp.float32)
          .at[jnp.minimum(bidx, n_cand - 1)].add(1.0))
 
@@ -226,7 +245,12 @@ def kmeans_init(key, Z_cos, cfg: EngineConfig, axis_name):
     S = min(cfg.kmeanspp_sample, cfg.N)
     if S < cfg.N:
         key, k_sub = jax.random.split(key)
-        ids = jnp.sort(jax.random.permutation(k_sub, cfg.N)[:S])
+        # iid uniform draw WITH replacement: at S=131k of N>=2S the
+        # duplicate mass is <= S/(2N) ~ a few percent — pure sampling noise
+        # for seeding. (A permutation-based draw without replacement needs
+        # an N-length sort whose XLA:TPU lowering costs ~21 s of compile at
+        # 858k — the single largest compile cost of the whole fit program.)
+        ids = jax.random.randint(k_sub, (S,), 0, cfg.N)
     else:
         ids = jnp.arange(cfg.N)
     Xs = _gather_columns(Z_cos, ids, cfg, axis_name)
