@@ -56,6 +56,7 @@ def run_harmony(
     chunk_size=2048,
     matmul_precision="default",
     low_memory=False,
+    defer_r=None,
 ):
     """Run Harmony batch-effect correction on TPU (or any JAX backend).
 
@@ -80,6 +81,14 @@ def run_harmony(
                       the pre-cast values; the per-cell fallback instead
                       keeps O/E exactly consistent with the stored (rounded)
                       values. Enables e.g. K=200 x 5M cells on one 16 GB chip.
+      defer_r         deferred-R (out-of-core) mode: the K x N soft
+                      assignments are NEVER materialized on device — ridge,
+                      the next iteration's centroid update, and the .R
+                      property replay the final E-step round chunk-resident
+                      instead. Device memory becomes K-independent at N
+                      scale. Default None = auto: enabled when the modeled
+                      memory envelope exceeds the device capacity and the
+                      fused-XLA geometry applies.
     """
     N = meta_data.shape[0]
     data_mat = np.asarray(data_mat.values if hasattr(data_mat, "values") else data_mat)
@@ -196,6 +205,7 @@ def run_harmony(
         random_state, device, mesh=mesh, checkpoint_dir=checkpoint_dir,
         resume_from=resume_from, use_pallas=use_pallas, chunk_size=chunk_size,
         matmul_precision=matmul_precision, low_memory=low_memory,
+        defer_r=defer_r,
     )
 
 
@@ -209,7 +219,7 @@ class Harmony:
                  epsilon_kmeans, epsilon_harmony, K, block_size, verbose,
                  random_state, device=None, *, mesh=None, checkpoint_dir=None,
                  resume_from=None, use_pallas=None, chunk_size=2048,
-                 matmul_precision="default", low_memory=False):
+                 matmul_precision="default", low_memory=False, defer_r=None):
         Z = np.asarray(Z, dtype=np.float32)
         Phi = np.asarray(Phi, dtype=np.float32)
         if mesh is None:
@@ -231,6 +241,16 @@ class Harmony:
         self.verbose = verbose
 
         n_devices = int(mesh.devices.size)
+        fused_ok = fused_geometry_ok(self.N, n_devices, float(block_size),
+                                     int(chunk_size))
+        if defer_r:
+            if not fused_ok:
+                raise ValueError(
+                    f"defer_r requires the fused-XLA chunk geometry "
+                    f"(>= {int(np.ceil(1 / block_size))} chunks of "
+                    f"{chunk_size} cells; N={self.N} has too few). Use a "
+                    f"smaller chunk_size.")
+            use_pallas = False
         if use_pallas is None:
             # Fused Pallas E-step: on by default on a single real TPU chip
             # whenever the chunk geometry fits (config.pallas_supported).
@@ -240,25 +260,39 @@ class Harmony:
         # Multi-device (or non-TPU) large problems use the fused XLA E-step —
         # same chunk-cache design, per-block psums across shards; small
         # problems fall back to the per-cell path (ops/update_r.py).
-        use_fused_xla = (not use_pallas) and fused_geometry_ok(
-            self.N, n_devices, float(block_size), int(chunk_size))
-        cfg = EngineConfig(
-            N=self.N, d=self.d, K=K, B=self.B,
-            n_devices=n_devices,
-            use_pallas=bool(use_pallas), use_fused_xla=bool(use_fused_xla),
-            chunk_size=int(chunk_size),
-            max_iter_harmony=max_iter_harmony,
-            max_iter_kmeans=max_iter_kmeans,
-            epsilon_kmeans=float(epsilon_kmeans),
-            epsilon_harmony=float(epsilon_harmony),
-            window_size=self.window_size,
-            block_size=float(block_size),
-            alpha=float(alpha),
-            lambda_estimation=bool(lambda_estimation),
-            matmul_precision=str(matmul_precision),
-            r_dtype="bfloat16" if low_memory else "float32",
-        )
-        self.cfg = cfg
+        use_fused_xla = (not use_pallas) and fused_ok
+
+        def build_cfg(defer: bool) -> EngineConfig:
+            return EngineConfig(
+                N=self.N, d=self.d, K=K, B=self.B,
+                n_devices=n_devices,
+                use_pallas=bool(use_pallas) and not defer,
+                use_fused_xla=bool(use_fused_xla) or defer,
+                defer_r=defer,
+                chunk_size=int(chunk_size),
+                max_iter_harmony=max_iter_harmony,
+                max_iter_kmeans=max_iter_kmeans,
+                epsilon_kmeans=float(epsilon_kmeans),
+                epsilon_harmony=float(epsilon_harmony),
+                window_size=self.window_size,
+                block_size=float(block_size),
+                alpha=float(alpha),
+                lambda_estimation=bool(lambda_estimation),
+                matmul_precision=str(matmul_precision),
+                r_dtype="bfloat16" if low_memory else "float32",
+            )
+
+        cfg = build_cfg(bool(defer_r))
+        if not cfg.fused_estep:
+            from .config import cell_tile_geom
+            G, cap = cell_tile_geom(cfg.n_blocks)
+            logger.debug(
+                f"per-cell E-step: the iid block partition's tile-capacity "
+                f"rule (tile={G} cells, cap={cap} per block) skips "
+                f"~2e-5 of (tile, block) groups' overflow cells per round — "
+                f"those cells keep their previous assignment for one round "
+                f"(bound tested in tests/test_partition.py; see README "
+                f"'Per-cell path capacity rule').")
         if not cfg.fused_estep and self.N > _SLOW_PATH_WARN_N:
             logger.warning(
                 f"N={self.N}: chunk geometry (chunk_size={chunk_size}, "
@@ -268,11 +302,28 @@ class Harmony:
                 f"fused path.")
         # Capacity preflight (the CPU reference has host-RAM capacity,
         # harmony.py:35-46; an accelerator has a hard HBM ceiling): fail
-        # fast with remedies instead of a raw XLA OOM mid-compile.
+        # fast with remedies instead of a raw XLA OOM mid-compile. When the
+        # stored-R envelope is over budget and deferred-R applies, fall over
+        # to it automatically (defer_r=None means auto).
         if not os.environ.get("HARMONYPY_SKIP_CAPACITY_CHECK"):
-            from .utils.memory import check_capacity
-            check_capacity(cfg, mesh)
+            from .utils.memory import CapacityError, check_capacity
+            try:
+                check_capacity(cfg, mesh)
+            except CapacityError:
+                if defer_r is None and fused_ok:
+                    cfg_d = build_cfg(True)
+                    check_capacity(cfg_d, mesh)  # raises if still over
+                    logger.warning(
+                        f"N={self.N}, K={K}: stored-R memory envelope "
+                        f"exceeds device capacity; enabling deferred-R "
+                        f"(out-of-core) mode — R is replayed chunk-resident "
+                        f"instead of materialized.")
+                    cfg = cfg_d
+                else:
+                    raise
+        self.cfg = cfg
         engine = get_engine(cfg, mesh)
+        self._engine = engine
 
         lamb_arr = np.atleast_1d(np.asarray(lamb, dtype=np.float32))
         if not lambda_estimation and len(lamb_arr) != self.B + 1:
@@ -298,6 +349,18 @@ class Harmony:
             from .utils.checkpoint import load_state, validate_state
             state = load_state(resume_from)
             validate_state(state, cfg, resume_from)
+            if state.Ysum0 is None:
+                # Checkpoint written before the deferred-R fields existed:
+                # only resumable in non-defer mode (validate_state rejects
+                # the R-placeholder mismatch otherwise); fill the
+                # placeholder fields at their GLOBAL shapes.
+                D = cfg.n_devices
+                one = np.zeros((1, 1), np.float32)
+                state = state._replace(
+                    Ysum0=one, rep_Y=one, rep_O=one, rep_E=one,
+                    rep_key=np.zeros((2,), np.uint32),
+                    rep_cache=np.zeros((D, 1, 1), np.float32),
+                    rep_Zcos=np.zeros((1, D), np.float32))
             shardings = jax.tree.map(
                 lambda spec: jax.sharding.NamedSharding(mesh, spec),
                 engine.state_specs,
@@ -407,8 +470,38 @@ class Harmony:
     @property
     def R(self):
         """Soft cluster assignments (N x K), float32 regardless of the
-        storage dtype (numpy has no native bfloat16)."""
+        storage dtype (numpy has no native bfloat16). In deferred-R mode the
+        values are materialized on demand by replaying the final E-step
+        round in bounded chunk windows (never K x N on device)."""
+        if self.cfg.defer_r:
+            return self._materialize_r()
         return self._cells(self.state.R.astype(jax.numpy.float32))
+
+    def _materialize_r(self) -> np.ndarray:
+        """Page the replayed R to the host: one dispatch per chunk window,
+        device peak ~ width * chunk_size * K floats per shard."""
+        cfg = self.cfg
+        from .ops.partition import partition_geometry
+        geom = partition_geometry(cfg)
+        D, CH, K = cfg.n_devices, geom.CH, cfg.K
+        width = max(1, min(geom.nc_cap,
+                           int(64 * 1024 * 1024 // max(CH * K, 1))))
+        fn = self._engine.r_window_fn(width)
+        out = np.zeros((K, cfg.N_pad), np.float32)
+        for lo in range(0, geom.nc_cap, width):
+            Rw = fn(self.state, self._data, self._params, jax.numpy.int32(lo))
+            if getattr(Rw, "is_fully_addressable", True) is False:
+                from jax.experimental import multihost_utils
+                Rw = multihost_utils.process_allgather(Rw, tiled=True)
+            Rw = np.asarray(Rw).astype(np.float32)
+            # Global rows: shard s's window chunks live at s*width + w.
+            for s in range(D):
+                for w in range(min(width, geom.nc_cap - lo)):
+                    c = lo + w
+                    cell0 = s * cfg.N_local + c * CH
+                    out[:, cell0: cell0 + CH] = Rw[s * width + w]
+        from .parallel.sharding import unpad_cells
+        return unpad_cells(out, cfg).T
 
     @property
     def Y(self):

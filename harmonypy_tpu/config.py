@@ -115,6 +115,17 @@ class EngineConfig:
     use_fused_xla: bool = False
     chunk_size: int = 2048
 
+    # Deferred-R (out-of-core) mode: the K x N soft-assignment matrix is
+    # NEVER materialized. R is write-only in the fused E-step design (all
+    # statistics accumulate from in-flight values), so k-means rounds skip
+    # the write entirely and every later consumer — the ridge correction,
+    # the next iteration's centroid numerator, the user-facing .R property —
+    # REPLAYS the final round's E-step from a saved (Y, O, E, cache, key)
+    # bundle, chunk-resident. Device memory becomes independent of K at
+    # N scale: K=200 x 5M cells fits one 16 GB chip. Requires the fused-XLA
+    # E-step (any mesh).
+    defer_r: bool = False
+
     @property
     def fused_estep(self) -> bool:
         return self.use_pallas or self.use_fused_xla
@@ -197,6 +208,8 @@ class EngineConfig:
         assert self.n_devices >= 1
         assert 0.0 < self.block_size <= 1.0
         assert not (self.use_pallas and self.use_fused_xla), self
+        assert not (self.defer_r and not self.use_fused_xla), \
+            "defer_r requires the fused-XLA E-step"
         if self.use_pallas:
             assert pallas_supported(self.N, self.n_devices, self.block_size,
                                     self.chunk_size), self

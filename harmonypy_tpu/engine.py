@@ -29,18 +29,21 @@ from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from .config import EngineConfig
-from .state import HarmonyData, HarmonyParams, HarmonyState, append, empty_histories
+from .state import (HarmonyData, HarmonyParams, HarmonyState, append,
+                    defer_placeholders, empty_histories)
 from .ops.normalize import l2_normalize_cols
 from .ops.kmeans import kmeans_init
 from .ops.update_r import compute_scale_dist, update_r
-from .ops.ridge import moe_correct_ridge
+from .ops.ridge import moe_correct_ridge, solve_w
 from .ops.objective import (chunk_objective_partials, compute_objective_terms,
                             cross_entropy_from_stats)
 from .ops.pallas.update_r_fused import chunk_stats, fused_update_r
 from .ops.partition import (
     block_ranks, frame_rows, frame_sum, global_slot_table, partition_geometry,
-    shard_chunk_gids, shard_slot_tables, stripe_blocks)
-from .ops.update_r_fused_xla import fused_update_r_xla3
+    round_tables, shard_chunk_gids, shard_slot_tables, stripe_blocks)
+from .ops.update_r_fused_xla import (fused_update_nor_xla3,
+                                     fused_update_r_xla3, replay_apply,
+                                     replay_normal_eq, replay_r)
 
 AXIS = "cells"
 
@@ -108,6 +111,8 @@ class HarmonyEngine:
             n_kmeans=rep, obj_harmony=rep, n_harmony=rep,
             kmeans_rounds=rep, n_rounds=rep, converged=rep,
             cache=P(AXIS),
+            Ysum0=rep, rep_Y=rep, rep_O=rep, rep_E=rep, rep_key=rep,
+            rep_cache=P(AXIS), rep_Zcos=s2,
         )
 
         # check_vma (replication typing) trips on pallas_call index_map
@@ -142,6 +147,41 @@ class HarmonyEngine:
         # a single dispatch and a single host sync — the fastest path when
         # per-iteration logging/checkpointing isn't needed.
         self.fit_fn = jax.jit(fit)
+        self._rwin_cache: dict = {}
+
+    # ---- deferred-R materializer (host-paged) ---------------------------
+    def r_window_fn(self, width: int):
+        """Jitted shard_map producing the stored-form R for the local chunk
+        window [lo, lo + width) of every shard ((n_devices * width, K, CH)
+        global). Deferred-R mode only; callers page `lo` to stream R out
+        without ever holding K x N on device."""
+        assert self.cfg.defer_r, self.cfg
+        fn = self._rwin_cache.get(width)
+        if fn is None:
+            rep = P()
+            fn = jax.jit(jax.shard_map(
+                functools.partial(self._r_window_impl, width=width),
+                mesh=self.mesh,
+                in_specs=(self.state_specs, self.data_specs,
+                          self.params_specs, rep),
+                out_specs=P(AXIS), check_vma=False))
+            self._rwin_cache[width] = fn
+        return fn
+
+    def _r_window_impl(self, state: HarmonyState, data: HarmonyData,
+                       params: HarmonyParams, lo, *, width: int):
+        cfg = self.cfg
+        geom = partition_geometry(cfg)
+        CH, nc1 = geom.CH, geom.nc_cap + 1
+        with jax.default_matmul_precision(cfg.matmul_precision):
+            Z3 = state.rep_Zcos.reshape(cfg.d, nc1, CH).transpose(1, 0, 2)
+            P3 = data.Phi.reshape(cfg.B, nc1, CH).transpose(1, 0, 2)
+            slots, granks, removal = round_tables(
+                state.rep_key, state.rep_cache, geom, AXIS)
+            return replay_r(
+                slots, granks, removal, Z3, P3, state.rep_Y,
+                params.sigma, params.theta, params.Pr_b,
+                state.rep_O, state.rep_E, cfg, AXIS, lo, width)
 
     # ---- sharding helpers (host side) -----------------------------------
     def data_shardings(self) -> HarmonyData:
@@ -172,6 +212,13 @@ class HarmonyEngine:
             # k-means++ + Lloyd centroids (replaces sklearn, harmony.py:366-374)
             Y = kmeans_init(k_init, Z_cos, cfg, AXIS)
             Y = l2_normalize_cols(Y)                 # harmony.py:377
+
+            if cfg.defer_r:
+                # Chunk-resident initial statistics: the initial R (softmax
+                # of -dist/sigma, harmony.py:383-385) is computed per chunk
+                # and reduced away — nothing K x N ever exists.
+                return self._init_defer(Z_orig, Z_cos, Phi, mask, Y, key,
+                                        params)
 
             dist_mat = 2.0 * (1.0 - Y.T @ Z_cos)     # harmony.py:380
             R = compute_scale_dist(dist_mat, params.sigma)  # harmony.py:383-385
@@ -235,7 +282,73 @@ class HarmonyEngine:
                 obj_harmony=obj_harmony, n_harmony=n_harmony,
                 kmeans_rounds=hist["kmeans_rounds"], n_rounds=hist["n_rounds"],
                 converged=hist["converged"], cache=cache,
+                **defer_placeholders(cfg),
             )
+
+    def _init_defer(self, Z_orig, Z_cos, Phi, mask, Y, key,
+                    params: HarmonyParams) -> HarmonyState:
+        """Deferred-R tail of _init_impl: per-chunk scan computes the cache,
+        the initial O/E, the first objective, and the first cluster loop's
+        centroid numerator — the (K, N) initial soft assignments are reduced
+        away chunk by chunk (each is a pure softmax of the chunk's
+        distances; any later consumer recomputes them identically)."""
+        cfg = self.cfg
+        geom = partition_geometry(cfg)
+        gids = shard_chunk_gids(geom, AXIS)
+        CH, nc1 = geom.CH, geom.nc_cap + 1
+        z0 = jnp.int32(0)
+
+        def chunk(_, j):
+            z = lax.dynamic_slice(Z_cos, (z0, j * CH), (cfg.d, CH))
+            p = lax.dynamic_slice(Phi, (z0, j * CH), (cfg.B, CH))
+            m = lax.dynamic_slice(mask, (j * CH,), (CH,))
+            dist = 2.0 * (1.0 - Y.T @ z)             # harmony.py:380
+            r = compute_scale_dist(dist, params.sigma) * m[None, :]
+            # Same formulas as pallas.update_r_fused.chunk_stats.
+            parts = [jnp.sum(r, axis=1)]
+            parts += [jnp.sum(r * p[b][None, :], axis=1)
+                      for b in range(cfg.B)]
+            cache_j = jnp.stack(parts, axis=1)       # (K, B+1)
+            y_j = z @ r.T                            # (d, K)
+            kerr_j = jnp.sum(r * dist)
+            from .ops.normalize import safe_entropy
+            ent_j = jnp.sum(safe_entropy(r) * params.sigma[:, None])
+            return None, (cache_j, y_j, kerr_j, ent_j)
+
+        _, (cache, ybuf, kerr_c, ent_c) = lax.scan(
+            chunk, None, jnp.arange(nc1, dtype=jnp.int32))
+
+        tot = frame_sum(cache[: geom.nc_cap], gids, geom.NC_fixed, AXIS)
+        E = tot[:, 0:1] * params.Pr_b[None, :]
+        O = tot[:, 1:]
+        Ysum0 = frame_sum(ybuf[: geom.nc_cap], gids, geom.NC_fixed, AXIS)
+        nc = jnp.float32(2000.0 / cfg.N)
+        terms = (
+            frame_sum(kerr_c[: geom.nc_cap], gids, geom.NC_fixed, AXIS) * nc,
+            frame_sum(ent_c[: geom.nc_cap], gids, geom.NC_fixed, AXIS) * nc,
+            cross_entropy_from_stats(O, E, params, cfg))
+
+        hist = empty_histories(cfg)
+        kh = self._objective_append(
+            (hist["obj_kmeans"], hist["obj_dist"], hist["obj_entropy"],
+             hist["obj_cross"], hist["n_kmeans"]), terms)
+        obj_kmeans, obj_dist, obj_entropy, obj_cross, n_kmeans = kh
+        obj_harmony, n_harmony = append(
+            hist["obj_harmony"], hist["n_harmony"], obj_kmeans[n_kmeans - 1])
+
+        ph = defer_placeholders(cfg)
+        ph["Ysum0"] = Ysum0
+        ph["rep_Zcos"] = Z_cos
+        return HarmonyState(
+            Z_corr=Z_orig, Z_cos=Z_cos,
+            R=jnp.zeros((1, 1), cfg.r_jnp_dtype),
+            Y=Y, O=O, E=E, key=key,
+            obj_kmeans=obj_kmeans, obj_dist=obj_dist,
+            obj_entropy=obj_entropy, obj_cross=obj_cross, n_kmeans=n_kmeans,
+            obj_harmony=obj_harmony, n_harmony=n_harmony,
+            kmeans_rounds=hist["kmeans_rounds"], n_rounds=hist["n_rounds"],
+            converged=hist["converged"], cache=cache, **ph,
+        )
 
     def _cluster_xla(self, state: HarmonyState, Phi, mask,
                      params: HarmonyParams) -> _KmeansCarry:
@@ -314,33 +427,29 @@ class HarmonyEngine:
             P3 = Phi.reshape(cfg.B, nc1, CH).transpose(1, 0, 2)
 
         def body(c: C) -> C:
-            # Pallas returns a shard-local Ysum (psum is an identity at its
-            # only mesh size, 1); the XLA path's Ysum is already the global
-            # fixed-frame reduction.
-            Ysum = lax.psum(c.Ysum, AXIS) if cfg.use_pallas else c.Ysum
+            Ysum = c.Ysum
             Y = l2_normalize_cols(Ysum)                # harmony.py:443-444
             key, k_r = jax.random.split(c.key)
             # GLOBAL stripe partition of chunks into blocks — a function of
-            # (key, N) only, so results are device-count-invariant
-            # (ops/partition.py). Each shard derives its own slot table from
-            # the shared assignment.
-            blocks = stripe_blocks(k_r, geom.NC_fixed, geom.L, geom.nb)
-            ranks = block_ranks(blocks, geom.nb, geom.J_fix)
-            slots, granks = shard_slot_tables(blocks, ranks, geom, AXIS)
-            # Per-block removal stats from the previous round's cache,
-            # reduced through the fixed global frame (bitwise invariant).
-            cache_glob = frame_rows(c.cache[: geom.nc_cap], gids,
-                                    geom.NC_fixed, AXIS)
-            gtbl = global_slot_table(blocks, ranks, geom)    # (nb, J_fix)
-            removal = jnp.sum(cache_glob[gtbl], axis=1)      # (nb, K, B+1)
+            # (key, N) only, so results are device-count-invariant — plus
+            # per-block removal stats from the previous round's cache,
+            # reduced through the fixed global frame (ops/partition.py).
+            slots, granks, removal = round_tables(k_r, c.cache, geom, AXIS)
             if cfg.use_pallas:
-                # Single chip: O/E come back globally exact from the kernel.
-                R, O, E, Ysum, cache, kerr, ent = fused_update_r(
+                # Single chip: O/E come back globally exact from the kernel
+                # (whose per-chunk stats and accumulation order mirror the
+                # XLA path bitwise); the per-chunk centroid/objective
+                # buffers reduce through the same fixed frame as the XLA
+                # path.
+                R, O, E, cache, ybuf, kbuf = fused_update_r(
                     slots.reshape(-1), removal, state.Z_cos, Phi, Y,
                     params.sigma, params.theta, params.Pr_b, c.O, c.E, cfg,
                     interpret=self._pallas_interpret)
-                kerr = lax.psum(kerr, AXIS)
-                ent = lax.psum(ent, AXIS)
+                Ysum = frame_sum(ybuf[: geom.nc_cap], gids, geom.NC_fixed,
+                                 AXIS).T
+                ko = frame_sum(kbuf[: geom.nc_cap], gids, geom.NC_fixed,
+                               AXIS)
+                kerr, ent = ko[0], ko[1]
             else:
                 # Any mesh: fixed-frame reductions keep O/E/Ysum and the
                 # objective bitwise device-count-invariant.
@@ -366,10 +475,14 @@ class HarmonyEngine:
                                    jnp.logical_not(c.converged))
 
         if cfg.use_pallas:
-            # Shard-local partial sum — the loop body psums it, same as the
-            # kernel-produced Ysum of every subsequent round.
-            ysum0 = state.Z_cos @ state.R.T
+            # Same per-chunk einsum + fixed-frame reduction as the XLA
+            # branch below (reshapes are views; XLA canonicalizes the
+            # contraction to the identical per-chunk GEMM).
             R0 = state.R
+            Zv = state.Z_cos.reshape(cfg.d, nc1, CH)
+            Rv = R0.reshape(cfg.K, nc1, CH).astype(jnp.float32)
+            y_c = jnp.einsum("djc,kjc->jdk", Zv, Rv)
+            ysum0 = frame_sum(y_c[: geom.nc_cap], gids, geom.NC_fixed, AXIS)
         else:
             # Chunk-major R carry + fixed-frame global Ysum reduction,
             # matching every subsequent round (bitwise device-count-
@@ -399,6 +512,130 @@ class HarmonyEngine:
             obj_entropy=out.obj_entropy, obj_cross=out.obj_cross,
             n_kmeans=out.n_kmeans, i=out.i, converged=out.converged)
 
+    class _DeferCarry(NamedTuple):
+        Ysum: jax.Array      # (d, K) fixed-frame global centroid numerator
+        Y: jax.Array         # (d, K) last round's normalized centroids
+        cache: jax.Array     # (n_chunks+1, K, B+1) per-chunk stats
+        O: jax.Array
+        E: jax.Array
+        key: jax.Array
+        rep_Y: jax.Array     # final round's START-of-round inputs (replay)
+        rep_O: jax.Array
+        rep_E: jax.Array
+        rep_cache: jax.Array
+        rep_key: jax.Array
+        obj_kmeans: jax.Array
+        obj_dist: jax.Array
+        obj_entropy: jax.Array
+        obj_cross: jax.Array
+        n_kmeans: jax.Array
+        i: jax.Array
+        converged: jax.Array
+
+    def _cluster_defer(self, state: HarmonyState, Z3, P3,
+                       params: HarmonyParams) -> "_DeferCarry":
+        """Deferred-R k-means loop: every round runs the no-R fused-XLA
+        E-step (nothing K x N read or written) and saves its start-of-round
+        inputs so the final round can be replayed bitwise by the ridge
+        correction and the .R materializer."""
+        cfg = self.cfg
+        geom = partition_geometry(cfg)
+        C = HarmonyEngine._DeferCarry
+
+        def body(c: C) -> C:
+            Y = l2_normalize_cols(c.Ysum)              # harmony.py:443-444
+            key, k_r = jax.random.split(c.key)
+            slots, granks, removal = round_tables(k_r, c.cache, geom, AXIS)
+            O, E, Ysum, cache, kerr, ent = fused_update_nor_xla3(
+                slots, granks, removal, Z3, P3, Y,
+                params.sigma, params.theta, params.Pr_b, c.O, c.E, cfg,
+                AXIS)
+            nc = jnp.float32(2000.0 / cfg.N)
+            terms = (kerr * nc, ent * nc,
+                     cross_entropy_from_stats(O, E, params, cfg))
+            hist = self._objective_append(
+                (c.obj_kmeans, c.obj_dist, c.obj_entropy, c.obj_cross,
+                 c.n_kmeans), terms)                   # harmony.py:453
+            obj_kmeans, obj_dist, obj_entropy, obj_cross, n_kmeans = hist
+            conv = jnp.logical_and(
+                c.i > cfg.window_size,
+                _check_conv_kmeans(obj_kmeans, n_kmeans, cfg))
+            return C(Ysum=Ysum, Y=Y, cache=cache, O=O, E=E, key=key,
+                     rep_Y=Y, rep_O=c.O, rep_E=c.E, rep_cache=c.cache,
+                     rep_key=k_r,
+                     obj_kmeans=obj_kmeans, obj_dist=obj_dist,
+                     obj_entropy=obj_entropy, obj_cross=obj_cross,
+                     n_kmeans=n_kmeans, i=c.i + 1, converged=conv)
+
+        def cond(c: C):
+            return jnp.logical_and(c.i < cfg.max_iter_kmeans,
+                                   jnp.logical_not(c.converged))
+
+        carry = C(
+            Ysum=state.Ysum0, Y=state.Y, cache=state.cache,
+            O=state.O, E=state.E, key=state.key,
+            rep_Y=state.rep_Y, rep_O=state.rep_O, rep_E=state.rep_E,
+            rep_cache=state.rep_cache, rep_key=state.rep_key,
+            obj_kmeans=state.obj_kmeans, obj_dist=state.obj_dist,
+            obj_entropy=state.obj_entropy, obj_cross=state.obj_cross,
+            n_kmeans=state.n_kmeans, i=jnp.int32(0),
+            converged=jnp.zeros((), jnp.bool_))
+        return lax.while_loop(cond, body, carry)
+
+    def _iter_defer(self, state: HarmonyState, data: HarmonyData,
+                    params: HarmonyParams) -> HarmonyState:
+        """Deferred-R harmony iteration: cluster (no-R rounds) + ridge by
+        replaying the final round twice (normal equations; apply), all
+        chunk-resident (reference harmonize() body, harmony.py:421-428)."""
+        cfg = self.cfg
+        geom = partition_geometry(cfg)
+        CH, nc1 = geom.CH, geom.nc_cap + 1
+        with jax.default_matmul_precision(cfg.matmul_precision):
+            Z_orig, Phi, mask = data
+            Z3 = state.Z_cos.reshape(cfg.d, nc1, CH).transpose(1, 0, 2)
+            P3 = Phi.reshape(cfg.B, nc1, CH).transpose(1, 0, 2)
+
+            carry = self._cluster_defer(state, Z3, P3, params)
+
+            kmeans_rounds, n_rounds = append(
+                state.kmeans_rounds, state.n_rounds, carry.i)
+            obj_harmony, n_harmony = append(
+                state.obj_harmony, state.n_harmony,
+                carry.obj_kmeans[carry.n_kmeans - 1])
+
+            # ---- ridge correction by replay (harmony.py:535-569) --------
+            M3 = mask.reshape(nc1, CH)
+            ZO3 = Z_orig.reshape(cfg.d, nc1, CH).transpose(1, 0, 2)
+            slots, granks, removal = round_tables(
+                carry.rep_key, carry.rep_cache, geom, AXIS)
+            S = replay_normal_eq(
+                slots, granks, removal, Z3, P3, M3, ZO3, carry.rep_Y,
+                params.sigma, params.theta, params.Pr_b,
+                carry.rep_O, carry.rep_E, cfg, AXIS)
+            W = solve_w(S, carry.E, params, cfg)
+            Zc3, Zs3, Ysum0 = replay_apply(
+                slots, granks, removal, Z3, P3, M3, ZO3, W, carry.rep_Y,
+                params.sigma, params.theta, params.Pr_b,
+                carry.rep_O, carry.rep_E, cfg, AXIS)
+            Z_corr = Zc3.transpose(1, 0, 2).reshape(cfg.d, nc1 * CH)
+            Z_cos = Zs3.transpose(1, 0, 2).reshape(cfg.d, nc1 * CH)
+
+            converged = _check_conv_harmony(obj_harmony, n_harmony, cfg)
+
+            return HarmonyState(
+                Z_corr=Z_corr, Z_cos=Z_cos, R=state.R, Y=carry.Y,
+                O=carry.O, E=carry.E, key=carry.key,
+                obj_kmeans=carry.obj_kmeans, obj_dist=carry.obj_dist,
+                obj_entropy=carry.obj_entropy, obj_cross=carry.obj_cross,
+                n_kmeans=carry.n_kmeans,
+                obj_harmony=obj_harmony, n_harmony=n_harmony,
+                kmeans_rounds=kmeans_rounds, n_rounds=n_rounds,
+                converged=converged, cache=carry.cache,
+                Ysum0=Ysum0, rep_Y=carry.rep_Y, rep_O=carry.rep_O,
+                rep_E=carry.rep_E, rep_key=carry.rep_key,
+                rep_cache=carry.rep_cache, rep_Zcos=state.Z_cos,
+            )
+
     def _fit_impl(self, data: HarmonyData, params: HarmonyParams,
                   key) -> HarmonyState:
         """init_cluster + full harmonize loop in-graph (harmony.py:280-282,
@@ -417,6 +654,8 @@ class HarmonyEngine:
         """One harmony iteration: cluster() + moe_correct_ridge() + type-1
         convergence check (reference harmonize() body, harmony.py:421-428)."""
         cfg = self.cfg
+        if cfg.defer_r:
+            return self._iter_defer(state, data, params)
         with jax.default_matmul_precision(cfg.matmul_precision):
             Z_orig, Phi, mask = data
 
@@ -448,6 +687,9 @@ class HarmonyEngine:
                 obj_harmony=obj_harmony, n_harmony=n_harmony,
                 kmeans_rounds=kmeans_rounds, n_rounds=n_rounds,
                 converged=converged, cache=carry.cache,
+                Ysum0=state.Ysum0, rep_Y=state.rep_Y, rep_O=state.rep_O,
+                rep_E=state.rep_E, rep_key=state.rep_key,
+                rep_cache=state.rep_cache, rep_Zcos=state.rep_Zcos,
             )
 
 

@@ -107,8 +107,8 @@ def chunk_stats(R, Phi, cfg: EngineConfig) -> jnp.ndarray:
 
 
 def _kernel(slots_ref, Zc, Phi, Y, sigma, theta, prb, O_in, E_in, rem,
-            R_out, O_out, E_out, Ysum, cache_out, obj_out,
-            accSum, accO, wdiv, *, J: int):
+            R_out, O_out, E_out, cache_out, ybuf_out, kbuf_out,
+            acc, *, J: int):
     b = pl.program_id(0)
     j = pl.program_id(1)
 
@@ -116,22 +116,23 @@ def _kernel(slots_ref, Zc, Phi, Y, sigma, theta, prb, O_in, E_in, rem,
     def _():
         O_out[:] = O_in[:]
         E_out[:] = E_in[:]
-        Ysum[:] = jnp.zeros_like(Ysum)
-        obj_out[0, 0] = 0.0
-        obj_out[0, 1] = 0.0
 
     @pl.when(j == 0)
     def _():
         # Remove the whole block from the global stats using the cached
-        # per-chunk statistics (harmony.py:491-492), then fix the block's
-        # diversity weights (harmony.py:495-499).
+        # per-chunk statistics (harmony.py:491-492).
         E_out[:] = E_out[:] - rem[0, :, 0][:, None] * prb[:]
         O_out[:] = O_out[:] - rem[0, :, 1:]
-        accSum[:] = jnp.zeros_like(accSum)
-        accO[:] = jnp.zeros_like(accO)
-        oe = jnp.maximum(O_out[:] + E_out[:], CLAMP)
-        ratio = jnp.clip(E_out[:] / oe, CLAMP, 1.0)
-        wdiv[:] = jnp.exp(theta[:] * jnp.log(ratio))            # (K, B)
+        acc[:] = jnp.zeros_like(acc)
+
+    # Diversity weights from the current (block-removed) stats
+    # (harmony.py:495-499). Recomputed per grid step from O/E — cheap, and
+    # it keeps every arithmetic expression identical to the XLA path
+    # (ops/update_r_fused_xla._block_core), which is what makes the Pallas
+    # and fused-XLA paths bitwise-interchangeable.
+    oe = jnp.maximum(O_out[:] + E_out[:], CLAMP)
+    ratio = jnp.clip(E_out[:] / oe, CLAMP, 1.0)
+    wdiv = jnp.exp(theta[:] * jnp.log(ratio))                   # (K, B)
 
     # dist + softmax + reweight, entirely in VMEM (harmony.py:447, 466-503).
     zb = Zc[:]                                                  # (d, CH)
@@ -142,48 +143,55 @@ def _kernel(slots_ref, Zc, Phi, Y, sigma, theta, prb, O_in, E_in, rem,
     s = jnp.exp(-dist / sigma[:])
     scale = s / jnp.sum(s, axis=0, keepdims=True)
     r_new = scale * jax.lax.dot_general(
-        wdiv[:], pb, (((1,), (0,)), ((), ())),
+        wdiv, pb, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     r_new = r_new / jnp.maximum(jnp.sum(r_new, axis=0, keepdims=True), CLAMP)
     # Storage cast only; every statistic below uses the fp32 r_new.
     R_out[:] = r_new.astype(R_out.dtype)
 
-    # Per-chunk stats: re-add accumulators + the persistent cache row.
-    sum_r = jnp.sum(r_new, axis=1, keepdims=True)               # (K, 1)
-    o_r = jax.lax.dot_general(                                  # (K, B)
-        r_new, pb, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    accSum[:] = accSum[:] + sum_r
-    accO[:] = accO[:] + o_r
-    cache_out[0, :, 0:1] = sum_r
-    cache_out[0, :, 1:] = o_r
+    # ALL linear statistics of r in one MXU contraction against the stacked
+    # features G = [1; Phi; Z] — the same single GEMM the XLA path runs
+    # (_block_stats), so the per-chunk values match it bitwise (the VPU
+    # jnp.sum this replaces rounds differently from the MXU ones-dot).
+    G = jnp.concatenate(
+        [jnp.ones_like(pb[:1]), pb, zb], axis=0)                # (1+B+d, CH)
+    S = jax.lax.dot_general(
+        r_new, G, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)                     # (K, 1+B+d)
+    B1 = pb.shape[0] + 1
+    stats = S[:, :B1]                                           # (K, B+1)
+    acc[:] = acc[:] + stats
+    cache_out[0] = stats
+    ybuf_out[0] = S[:, B1:]                                     # (K, d)
 
-    # Next round's centroid numerator Z_cos @ R_new^T (harmony.py:443).
-    Ysum[:] = Ysum[:] + jax.lax.dot_general(
-        zb, r_new, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
-
-    # Objective terms on the final values (harmony.py:399-402): each cell is
-    # updated exactly once per round, so per-chunk sums are exact.
-    kerr = jnp.sum(r_new * dist)
+    # Per-chunk objective partials (harmony.py:399-402): each cell is
+    # updated exactly once per round, so per-chunk sums are exact. The
+    # engine reduces them through the same fixed chunk frame as the XLA
+    # path.
+    kerr = jnp.sum(r_new * dist, keepdims=True)                # (1, 1)
     ent = jnp.sum(jnp.where(
         r_new > 0.0,
         r_new * jnp.log(jnp.where(r_new > 0.0, r_new, 1.0)),
-        0.0) * sigma[:])
-    obj_out[0, 0] = obj_out[0, 0] + kerr
-    obj_out[0, 1] = obj_out[0, 1] + ent
+        0.0) * sigma[:], keepdims=True)                        # (1, 1)
+    kbuf_out[0, :, 0:1] = kerr
+    kbuf_out[0, :, 1:2] = ent
 
     @pl.when(j == J - 1)
     def _():
         # Put the block back into the global stats (harmony.py:506-507).
-        E_out[:] = E_out[:] + accSum[:] * prb[:]
-        O_out[:] = O_out[:] + accO[:]
+        # `acc` accumulated sequentially in ascending within-block rank
+        # order — the same order the XLA path's _block_readd uses.
+        E_out[:] = E_out[:] + acc[:, 0:1] * prb[:]
+        O_out[:] = O_out[:] + acc[:, 1:]
 
 
 def fused_update_r(slots, removal, Z_cos, Phi, Y, sigma, theta, Pr_b, O, E,
                    cfg: EngineConfig, interpret: bool = False):
-    """One full E-step. Returns (R, O, E, Ysum, cache, kmeans_error, entropy)
-    with the objective terms un-normalized (engine applies 2000/N).
+    """One full E-step. Returns (R, O, E, cache, ybuf, kbuf): the per-chunk
+    centroid-numerator buffer ybuf (n_chunks+1, K, d) and objective-partial
+    buffer kbuf (n_chunks+1, 2) are reduced by the engine through the same
+    fixed chunk frame as the fused-XLA path (partition.frame_sum), so both
+    paths produce bitwise-identical global statistics.
 
     Z_cos: (d, N_alloc), Phi: (B, N_alloc) where N_alloc = cfg.N_local
     includes the trailing dummy chunk. Y: (d, K). sigma: (K,), theta/Pr_b:
@@ -227,15 +235,12 @@ def fused_update_r(slots, removal, Z_cos, Phi, Y, sigma, theta, Pr_b, O, E,
             pl.BlockSpec((K, CH), chunk_map),    # R (write-only)
             pl.BlockSpec((K, B), const_map),     # O
             pl.BlockSpec((K, B), const_map),     # E
-            pl.BlockSpec((d, K), const_map),     # Ysum
             pl.BlockSpec((1, K, B + 1), cache_map),   # per-chunk cache
-            pl.BlockSpec((1, 2), const_map,
-                         memory_space=pltpu.SMEM),  # [kmeans_error, entropy]
+            pl.BlockSpec((1, K, d), cache_map),  # per-chunk Z r^T
+            pl.BlockSpec((1, 1, 2), cache_map),  # per-chunk [kerr, entropy]
         ],
         scratch_shapes=[
-            pltpu.VMEM((K, 1), jnp.float32),     # accSum
-            pltpu.VMEM((K, B), jnp.float32),     # accO
-            pltpu.VMEM((K, B), jnp.float32),     # wdiv
+            pltpu.VMEM((K, B + 1), jnp.float32),  # block stats accumulator
         ],
     )
 
@@ -243,12 +248,12 @@ def fused_update_r(slots, removal, Z_cos, Phi, Y, sigma, theta, Pr_b, O, E,
         jax.ShapeDtypeStruct((K, N_alloc), cfg.r_jnp_dtype),
         jax.ShapeDtypeStruct((K, B), jnp.float32),
         jax.ShapeDtypeStruct((K, B), jnp.float32),
-        jax.ShapeDtypeStruct((d, K), jnp.float32),
         jax.ShapeDtypeStruct((nc1, K, B + 1), jnp.float32),
-        jax.ShapeDtypeStruct((1, 2), jnp.float32),
+        jax.ShapeDtypeStruct((nc1, K, d), jnp.float32),
+        jax.ShapeDtypeStruct((nc1, 1, 2), jnp.float32),
     ]
 
-    R2, O2, E2, Ysum, cache, obj = pl.pallas_call(
+    R2, O2, E2, cache, ybuf, kbuf = pl.pallas_call(
         functools.partial(_kernel, J=J),
         grid_spec=grid_spec,
         out_shape=out_shape,
@@ -257,7 +262,8 @@ def fused_update_r(slots, removal, Z_cos, Phi, Y, sigma, theta, Pr_b, O, E,
       sigma.reshape(K, 1), theta.reshape(1, B), Pr_b.reshape(1, B), O, E,
       removal)
 
-    # The dummy chunk of R and its cache row are written (with zeros) by
-    # every block's trailing always-dummy grid step (pallas_geometry), so the
-    # write-only outputs are fully initialized by the kernel itself.
-    return R2, O2, E2, Ysum, cache, obj[0, 0], obj[0, 1]
+    # The dummy chunk of R and its cache/ybuf/kbuf rows are written (with
+    # zeros) by every block's trailing always-dummy grid step
+    # (pallas_geometry), so the write-only outputs are fully initialized by
+    # the kernel itself.
+    return R2, O2, E2, cache, ybuf, kbuf[:, 0, :]

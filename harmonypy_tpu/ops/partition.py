@@ -206,6 +206,26 @@ def removal_from_cache(cache, gtbl, geom: PartitionGeometry) -> jnp.ndarray:
     return jnp.sum(cache[: geom.NC_fixed][gtbl], axis=1)
 
 
+def round_tables(k_r, cache, geom: PartitionGeometry, axis_name):
+    """Everything one fused E-step round derives from (round key, cache):
+    the per-shard slot/rank tables and the per-block removal stats. Single
+    source shared by the k-means round body and the deferred-R replay
+    passes, so a replay reproduces the round's partition and O/E evolution
+    bitwise. Runs under shard_map.
+
+    Returns (slots (nb, J_shard), granks (nb, J_shard),
+    removal (nb, K, B+1) replicated)."""
+    blocks = stripe_blocks(k_r, geom.NC_fixed, geom.L, geom.nb)
+    ranks = block_ranks(blocks, geom.nb, geom.J_fix)
+    slots, granks = shard_slot_tables(blocks, ranks, geom, axis_name)
+    gids = shard_chunk_gids(geom, axis_name)
+    cache_glob = frame_rows(cache[: geom.nc_cap], gids, geom.NC_fixed,
+                            axis_name)
+    gtbl = global_slot_table(blocks, ranks, geom)
+    removal = jnp.sum(cache_glob[gtbl], axis=1)          # (nb, K, B+1)
+    return slots, granks, removal
+
+
 def shard_chunk_gids(geom: PartitionGeometry, axis_name) -> jnp.ndarray:
     """(nc_cap,) global chunk ids owned by this shard; ids beyond the fixed
     frame (empty excess-capacity chunks) get the drop sentinel NC_fixed."""

@@ -64,6 +64,40 @@ def _normal_eq_framed(A, Z_orig, R, cfg: EngineConfig, axis_name):
     return frame_sum(S_c[: geom.nc_cap], gids, geom.NC_fixed, axis_name)
 
 
+def solve_w(S, E, params: HarmonyParams, cfg: EngineConfig):
+    """Solve all K ridge systems from the stacked normal equations S
+    (B1*(B1+d), K): returns W (K, B1, d) with the intercept row zeroed
+    (reference harmony.py:541-565). Shared by the stored-R path below and
+    the deferred-R replay (ops/update_r_fused_xla.replay_normal_eq)."""
+    import jax
+
+    K, B1, d = cfg.K, cfg.B1, cfg.d
+    cov = jnp.transpose(S[: B1 * B1].reshape(B1, B1, K), (2, 0, 1))
+    rhs = jnp.transpose(S[B1 * B1:].reshape(B1, d, K), (2, 0, 1))
+
+    # Ridge penalty per cluster (dynamic lambda: reference :541-544, 587-591).
+    if cfg.lambda_estimation:
+        # Floor at a tiny positive value: a batch level with E[k,b] == 0
+        # (e.g. an unused categorical level, Pr_b == 0) has an all-zero
+        # Phi_moe row, and alpha*E == 0 would make cov[k] exactly singular —
+        # the floor keeps the solve regular and yields W == 0 for that level
+        # (its rhs row is zero), i.e. no correction, which is the right
+        # answer for a level with no cells.
+        lamb_k = jnp.concatenate(
+            [jnp.zeros((K, 1), jnp.float32),
+             jnp.maximum(jnp.float32(cfg.alpha) * E, 1e-6)], axis=1
+        )                                                       # (K, B1)
+    else:
+        lamb_k = jnp.broadcast_to(params.lamb[None, :], (K, B1))
+    cov = cov + jax.vmap(jnp.diag)(lamb_k)
+
+    # Batched SPD solve (reference uses torch.linalg.inv; Cholesky is the
+    # numerically preferable equivalent for these tiny SPD systems).
+    L = jnp.linalg.cholesky(cov)                                # (K, B1, B1)
+    W = jax.scipy.linalg.cho_solve((L, True), rhs)              # (K, B1, d)
+    return W.at[:, 0, :].set(0.0)                               # keep intercept
+
+
 def moe_correct_ridge(Z_orig, Phi, R, E, params: HarmonyParams,
                       cfg: EngineConfig, mask, axis_name):
     """Returns Z_corr = Z_orig - correction (shard-local columns).
@@ -97,30 +131,7 @@ def moe_correct_ridge(Z_orig, Phi, R, E, params: HarmonyParams,
             ZA = (Ac[:, None, :] * Zc[None, :, :]).reshape(B1 * d, hi - lo)
             S = S + jnp.concatenate([A2, ZA], axis=0) @ Rc.T
         S = lax.psum(S, axis_name)                              # (B1(B1+d), K)
-    cov = jnp.transpose(S[: B1 * B1].reshape(B1, B1, K), (2, 0, 1))
-    rhs = jnp.transpose(S[B1 * B1:].reshape(B1, d, K), (2, 0, 1))
-
-    # Ridge penalty per cluster (dynamic lambda: reference :541-544, 587-591).
-    if cfg.lambda_estimation:
-        # Floor at a tiny positive value: a batch level with E[k,b] == 0
-        # (e.g. an unused categorical level, Pr_b == 0) has an all-zero
-        # Phi_moe row, and alpha*E == 0 would make cov[k] exactly singular —
-        # the floor keeps the solve regular and yields W == 0 for that level
-        # (its rhs row is zero), i.e. no correction, which is the right
-        # answer for a level with no cells.
-        lamb_k = jnp.concatenate(
-            [jnp.zeros((K, 1), jnp.float32),
-             jnp.maximum(jnp.float32(cfg.alpha) * E, 1e-6)], axis=1
-        )                                                       # (K, B1)
-    else:
-        lamb_k = jnp.broadcast_to(params.lamb[None, :], (K, B1))
-    cov = cov + jax.vmap(jnp.diag)(lamb_k)
-
-    # Batched SPD solve (reference uses torch.linalg.inv; Cholesky is the
-    # numerically preferable equivalent for these tiny SPD systems).
-    L = jnp.linalg.cholesky(cov)                                # (K, B1, B1)
-    W = jax.scipy.linalg.cho_solve((L, True), rhs)              # (K, B1, d)
-    W = W.at[:, 0, :].set(0.0)                                  # keep intercept
+    W = solve_w(S, E, params, cfg)
 
     # correction[d, n] = sum_k sum_b W[k,b,d] A[b,n] R[k,n]: one shard-local
     # GEMM T = R^T W per cell chunk (again reading R once overall), then a

@@ -34,9 +34,58 @@ from jax import lax
 
 from ..config import EngineConfig
 from .objective import chunk_objective_partials
-from .partition import frame_sum, partition_geometry, shard_chunk_gids
+from .partition import (frame_rows, frame_sum, partition_geometry,
+                        shard_chunk_gids)
 
 CLAMP = 1e-8
+
+
+def _block_core(O, E, rem_b, slots_b, Z3, P3, Y, sigma, theta, Pr_b):
+    """Shared per-block math (reference harmony.py:491-503): remove the
+    block's stats, diversity-reweight, recompute the block's soft
+    assignments. Returns (O_removed, E_removed, r, zb, pb, dist). Single
+    source for the round body AND the deferred-R replay passes — the replay
+    must reproduce r bitwise."""
+    E = E - rem_b[:, 0:1] * Pr_b[None, :]
+    O = O - rem_b[:, 1:]
+    oe = jnp.maximum(O + E, CLAMP)
+    ratio = jnp.clip(E / oe, CLAMP, 1.0)
+    wdiv = jnp.exp(theta[None, :] * jnp.log(ratio))            # (K, B)
+
+    zb = Z3[slots_b]                                           # (Js, d, CH)
+    pb = P3[slots_b]                                           # (Js, B, CH)
+    dist = 2.0 * (1.0 - jnp.einsum("dk,jdc->jkc", Y, zb))      # (Js, K, CH)
+    s = jnp.exp(-dist / sigma[None, :, None])
+    scale = s / jnp.sum(s, axis=1, keepdims=True)
+    r = scale * jnp.einsum("kb,jbc->jkc", wdiv, pb)            # dummy cols -> 0
+    r = r / jnp.maximum(jnp.sum(r, axis=1, keepdims=True), CLAMP)
+    return O, E, r, zb, pb, dist
+
+
+def _block_stats(r, zb, pb):
+    """All linear statistics of r in one batched MXU contraction over the
+    stacked features G = [1; Phi; Z]: block mass + O contribution
+    (stats, (Js, K, B+1)) and the centroid numerator (yk_c, (Js, K, d))."""
+    Js, _, CH = r.shape
+    G = jnp.concatenate(
+        [jnp.ones((Js, 1, CH), jnp.float32), pb,
+         zb.astype(jnp.float32)], axis=1)                      # (Js, 1+B+d, CH)
+    S = jnp.einsum("jkc,jxc->jkx", r, G)                       # (Js, K, 1+B+d)
+    B1 = pb.shape[1] + 1
+    return S[:, :, :B1], S[:, :, B1:]
+
+
+def _block_readd(O, E, stats, granks_b, Pr_b, geom, axis_name):
+    """Re-add the block globally (harmony.py:506-507) through the fixed
+    rank frame: bitwise identical at any device count. The frame rows are
+    accumulated SEQUENTIALLY in ascending global-rank order — the same
+    order the Pallas kernel's in-grid accumulator uses — so the two fused
+    paths produce bitwise-identical O/E trajectories."""
+    rows = frame_rows(stats, granks_b, geom.J_fix, axis_name)  # (J_fix,K,B+1)
+    add = lax.fori_loop(
+        0, geom.J_fix, lambda i, a: a + rows[i],
+        jnp.zeros(rows.shape[1:], rows.dtype))                 # (K, B+1)
+    return O + add[:, 1:], E + add[:, 0:1] * Pr_b[None, :]
 
 
 def fused_update_r_xla3(slots, granks, removal, Z3, P3, R3, Y, sigma, theta,
@@ -72,38 +121,11 @@ def fused_update_r_xla3(slots, granks, removal, Z3, P3, R3, Y, sigma, theta,
         O, E, R3, cache, ybuf, kbuf = carry
         slots_b, granks_b, rem_b = inp        # (Js,), (Js,), (K, B+1)
 
-        # Remove the block from the global stats (harmony.py:491-492) and fix
-        # its diversity weights (harmony.py:495-499).
-        E = E - rem_b[:, 0:1] * Pr_b[None, :]
-        O = O - rem_b[:, 1:]
-        oe = jnp.maximum(O + E, CLAMP)
-        ratio = jnp.clip(E / oe, CLAMP, 1.0)
-        wdiv = jnp.exp(theta[None, :] * jnp.log(ratio))        # (K, B)
-
-        zb = Z3[slots_b]                                       # (Js, d, CH)
-        pb = P3[slots_b]                                       # (Js, B, CH)
-        dist = 2.0 * (1.0 - jnp.einsum("dk,jdc->jkc", Y, zb))  # (Js, K, CH)
-        s = jnp.exp(-dist / sigma[None, :, None])
-        scale = s / jnp.sum(s, axis=1, keepdims=True)
-        r = scale * jnp.einsum("kb,jbc->jkc", wdiv, pb)        # dummy cols -> 0
-        r = r / jnp.maximum(jnp.sum(r, axis=1, keepdims=True), CLAMP)
-
-        # Per-chunk statistics — fixed (.., CH) shapes on every mesh. One
-        # batched MXU contraction produces ALL linear statistics of r (block
-        # mass, O contribution, centroid numerator) in a single pass over r
-        # instead of three: G = [1; Phi; Z] stacked on the feature axis.
-        G = jnp.concatenate(
-            [jnp.ones((Js, 1, CH), jnp.float32), pb,
-             zb.astype(jnp.float32)], axis=1)                  # (Js, 1+B+d, CH)
-        S = jnp.einsum("jkc,jxc->jkx", r, G)                   # (Js, K, 1+B+d)
-        stats = S[:, :, : B + 1]                               # (Js, K, B+1)
-        yk_c = S[:, :, B + 1:]                                 # (Js, K, d)
-
-        # Re-add the block globally (harmony.py:506-507) through the fixed
-        # rank frame: bitwise identical at any device count.
-        add = frame_sum(stats, granks_b, geom.J_fix, axis_name)  # (K, B+1)
-        E = E + add[:, 0:1] * Pr_b[None, :]
-        O = O + add[:, 1:]
+        O, E, r, zb, pb, dist = _block_core(
+            O, E, rem_b, slots_b, Z3, P3, Y, sigma, theta, Pr_b)
+        # Per-chunk statistics — fixed (.., CH) shapes on every mesh.
+        stats, yk_c = _block_stats(r, zb, pb)
+        O, E = _block_readd(O, E, stats, granks_b, Pr_b, geom, axis_name)
 
         # Per-chunk objective partials.
         kerr_c, ent_c = chunk_objective_partials(
@@ -132,6 +154,168 @@ def fused_update_r_xla3(slots, granks, removal, Z3, P3, R3, Y, sigma, theta,
                      axis_name).T                              # -> (d, K)
     ko = frame_sum(kbuf[: geom.nc_cap], gids, geom.NC_fixed, axis_name)
     return (R3, O, E, Ysum, cache, ko[0], ko[1])
+
+
+def fused_update_nor_xla3(slots, granks, removal, Z3, P3, Y, sigma, theta,
+                          Pr_b, O, E, cfg: EngineConfig, axis_name):
+    """Deferred-R round: identical to fused_update_r_xla3 minus the R3
+    write-back — nothing K x N is read or written. Every statistic (O, E,
+    Ysum, cache, objective) is computed from the in-flight r values, which
+    a later replay pass reproduces bitwise from (round key, pre-round O/E/
+    cache, Y). Returns (O, E, Ysum, cache, kerr, ent)."""
+    geom = partition_geometry(cfg)
+    K, d, B = cfg.K, cfg.d, cfg.B
+
+    def body(carry, inp):
+        O, E, cache, ybuf, kbuf = carry
+        slots_b, granks_b, rem_b = inp
+
+        O, E, r, zb, pb, dist = _block_core(
+            O, E, rem_b, slots_b, Z3, P3, Y, sigma, theta, Pr_b)
+        stats, yk_c = _block_stats(r, zb, pb)
+        O, E = _block_readd(O, E, stats, granks_b, Pr_b, geom, axis_name)
+        kerr_c, ent_c = chunk_objective_partials(
+            r, dist, sigma, k_axis=1, chunk_axis=0)
+
+        cache = cache.at[slots_b].set(stats)
+        ybuf = ybuf.at[slots_b].set(yk_c)
+        kbuf = kbuf.at[slots_b].set(jnp.stack([kerr_c, ent_c], axis=1))
+        return (O, E, cache, ybuf, kbuf), None
+
+    nc1 = geom.nc_cap + 1
+    init = (O, E,
+            jnp.zeros((nc1, K, B + 1), jnp.float32),
+            jnp.zeros((nc1, K, d), jnp.float32),
+            jnp.zeros((nc1, 2), jnp.float32))
+    (O, E, cache, ybuf, kbuf), _ = lax.scan(
+        body, init, (slots, granks, removal))
+
+    gids = shard_chunk_gids(geom, axis_name)
+    Ysum = frame_sum(ybuf[: geom.nc_cap], gids, geom.NC_fixed,
+                     axis_name).T
+    ko = frame_sum(kbuf[: geom.nc_cap], gids, geom.NC_fixed, axis_name)
+    return (O, E, Ysum, cache, ko[0], ko[1])
+
+
+def replay_normal_eq(slots, granks, removal, Z3, P3, M3, ZO3, Y, sigma,
+                     theta, Pr_b, O, E, cfg: EngineConfig, axis_name):
+    """Deferred-R ridge pass 1: replay the final k-means round's E-step
+    (bitwise — same _block_core, same tables, same pre-round O/E/cache) and
+    accumulate the ridge normal equations from the in-flight r, chunk-
+    resident (VERDICT r2 #6: the stored-R path read the K x N array twice
+    for ridge; here it is never materialized at all).
+
+    M3: (nc1, CH) chunk-major mask (the Phi_moe intercept row); ZO3:
+    (nc1, d, CH) chunk-major Z_orig. Returns S (B1*(B1+d), K) replicated —
+    the same stacked normal-equation layout as ridge._normal_eq_framed,
+    reduced through the same fixed frame (bitwise device-count-invariant).
+    """
+    geom = partition_geometry(cfg)
+    K, d, B, B1 = cfg.K, cfg.d, cfg.B, cfg.B1
+
+    def body(carry, inp):
+        O, E, Sbuf = carry
+        slots_b, granks_b, rem_b = inp
+        O, E, r, zb, pb, _ = _block_core(
+            O, E, rem_b, slots_b, Z3, P3, Y, sigma, theta, Pr_b)
+        stats, _ = _block_stats(r, zb, pb)
+        O, E = _block_readd(O, E, stats, granks_b, Pr_b, geom, axis_name)
+
+        a = jnp.concatenate([M3[slots_b][:, None, :], pb], axis=1)
+        zo = ZO3[slots_b]                                      # (Js, d, CH)
+        F = jnp.concatenate(
+            [(a[:, :, None, :] * a[:, None, :, :]).reshape(
+                a.shape[0], B1 * B1, -1),
+             (a[:, :, None, :] * zo[:, None, :, :]).reshape(
+                 a.shape[0], B1 * d, -1)], axis=1)             # (Js, F, CH)
+        S_c = jnp.einsum("jfc,jkc->jfk", F, r)                 # (Js, F, K)
+        Sbuf = Sbuf.at[slots_b].set(S_c)
+        return (O, E, Sbuf), None
+
+    nc1 = geom.nc_cap + 1
+    init = (O, E, jnp.zeros((nc1, B1 * (B1 + d), K), jnp.float32))
+    (_, _, Sbuf), _ = lax.scan(body, init, (slots, granks, removal))
+    gids = shard_chunk_gids(geom, axis_name)
+    return frame_sum(Sbuf[: geom.nc_cap], gids, geom.NC_fixed, axis_name)
+
+
+def replay_apply(slots, granks, removal, Z3, P3, M3, ZO3, W, Y, sigma,
+                 theta, Pr_b, O, E, cfg: EngineConfig, axis_name):
+    """Deferred-R ridge pass 2: replay the final round's E-step again and
+    apply the ridge correction chunk-resident (reference harmony.py:559-569),
+    producing the corrected embedding, its L2-normalization, and the NEXT
+    harmony iteration's initial centroid numerator Z_cos_new r^T — all
+    without materializing R.
+
+    W: (K, B1, d) solved ridge coefficients (intercept row already zeroed).
+    Returns (Zc3 (nc1, d, CH), Zs3 (nc1, d, CH), Ysum0 (d, K) replicated).
+    """
+    geom = partition_geometry(cfg)
+    K, d, B1 = cfg.K, cfg.d, cfg.B1
+    Wf = W.reshape(K, B1 * d)
+
+    def body(carry, inp):
+        O, E, Zc3, Zs3, ybuf = carry
+        slots_b, granks_b, rem_b = inp
+        O, E, r, zb, pb, _ = _block_core(
+            O, E, rem_b, slots_b, Z3, P3, Y, sigma, theta, Pr_b)
+        stats, _ = _block_stats(r, zb, pb)
+        O, E = _block_readd(O, E, stats, granks_b, Pr_b, geom, axis_name)
+
+        a = jnp.concatenate([M3[slots_b][:, None, :], pb], axis=1)
+        # T[c, b, :] = sum_k r[k, c] W[k, b, :] — one (CH, K) x (K, B1*d)
+        # GEMM per chunk, matching ridge's R^T W chunking.
+        T = jnp.einsum("jkc,kf->jcf", r, Wf).reshape(
+            r.shape[0], -1, B1, d)                             # (Js, CH, B1, d)
+        zc = ZO3[slots_b] - jnp.einsum("jbc,jcbd->jdc", a, T)  # (Js, d, CH)
+        # Same formula as normalize.l2_normalize_cols (bitwise-matching the
+        # stored-R path's full-array normalization, harmony.py:569).
+        norm = jnp.sqrt(jnp.sum(zc * zc, axis=1, keepdims=True))
+        zs = zc / jnp.where(norm > 0.0, norm, 1.0)
+        y_c = jnp.einsum("jdc,jkc->jdk", zs, r)                # (Js, d, K)
+
+        Zc3 = Zc3.at[slots_b].set(zc)
+        Zs3 = Zs3.at[slots_b].set(zs)
+        ybuf = ybuf.at[slots_b].set(y_c)
+        return (O, E, Zc3, Zs3, ybuf), None
+
+    nc1 = geom.nc_cap + 1
+    zeros3 = jnp.zeros((nc1, d, geom.CH), jnp.float32)
+    init = (O, E, zeros3, zeros3,
+            jnp.zeros((nc1, d, K), jnp.float32))
+    (_, _, Zc3, Zs3, ybuf), _ = lax.scan(body, init, (slots, granks, removal))
+    gids = shard_chunk_gids(geom, axis_name)
+    Ysum0 = frame_sum(ybuf[: geom.nc_cap], gids, geom.NC_fixed, axis_name)
+    return Zc3, Zs3, Ysum0
+
+
+def replay_r(slots, granks, removal, Z3, P3, Y, sigma, theta, Pr_b, O, E,
+             cfg: EngineConfig, axis_name, lo: int, width: int):
+    """Deferred-R materializer: replay the final round and return the
+    stored-form R for the local chunk window [lo, lo + width) only
+    ((width, K, CH) per shard). The full replay runs regardless (the O/E
+    evolution is sequential over blocks) but only the window is kept, so
+    peak memory stays K x (width * CH) per shard — callers page through
+    windows to stream R out without ever materializing K x N."""
+    geom = partition_geometry(cfg)
+    K = cfg.K
+
+    def body(carry, inp):
+        O, E, Rw = carry
+        slots_b, granks_b, rem_b = inp
+        O, E, r, zb, pb, _ = _block_core(
+            O, E, rem_b, slots_b, Z3, P3, Y, sigma, theta, Pr_b)
+        stats, _ = _block_stats(r, zb, pb)
+        O, E = _block_readd(O, E, stats, granks_b, Pr_b, geom, axis_name)
+        # Scatter the window's chunks; out-of-window slots hit the trash row.
+        w_idx = slots_b - lo
+        w_idx = jnp.where((w_idx >= 0) & (w_idx < width), w_idx, width)
+        Rw = Rw.at[w_idx].set(r.astype(Rw.dtype), mode="drop")
+        return (O, E, Rw), None
+
+    init = (O, E, jnp.zeros((width + 1, K, geom.CH), cfg.r_jnp_dtype))
+    (_, _, Rw), _ = lax.scan(body, init, (slots, granks, removal))
+    return Rw[:width]
 
 
 def fused_update_r_xla(slots, granks, removal, Z_cos, Phi, Y, sigma, theta,

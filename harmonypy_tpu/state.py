@@ -83,6 +83,48 @@ class HarmonyState(NamedTuple):
     # the resume path rebuilds it from R/Phi (api.py).
     cache: jax.Array = None
 
+    # Deferred-R mode (cfg.defer_r) only; tiny placeholders otherwise.
+    # R is never materialized (the R field above holds a (1, 1)-per-shard
+    # placeholder); instead these allow REPLAYING the final k-means round
+    # bitwise: Ysum0 is the next cluster loop's initial centroid numerator
+    # Z_cos r^T (d, K), and rep_{Y,O,E,cache,key} are the final round's
+    # START-of-round inputs (ops/update_r_fused_xla.replay_*).
+    Ysum0: jax.Array = None     # (d, K) replicated
+    rep_Y: jax.Array = None     # (d, K) replicated
+    rep_O: jax.Array = None     # (K, B) replicated
+    rep_E: jax.Array = None     # (K, B) replicated
+    rep_key: jax.Array = None   # (2,) uint32 — the round key k_r
+    rep_cache: jax.Array = None  # (n_chunks+1, K, B+1) sharded
+    rep_Zcos: jax.Array = None  # (d, N_local) sharded — the Z_cos the final
+    #                             round read (pre-ridge); replay input
+
+
+def defer_placeholders(cfg: EngineConfig) -> dict:
+    """Per-shard values for the deferred-R state fields: real shapes in
+    defer mode, (1, 1)-scale placeholders otherwise (a NamedTuple pytree
+    needs concrete leaves for shard_map out_specs and checkpointing)."""
+    f32 = jnp.float32
+    if cfg.defer_r:
+        nc1 = cfg.N_local // cfg.chunk_size
+        return dict(
+            Ysum0=jnp.zeros((cfg.d, cfg.K), f32),
+            rep_Y=jnp.zeros((cfg.d, cfg.K), f32),
+            rep_O=jnp.zeros((cfg.K, cfg.B), f32),
+            rep_E=jnp.zeros((cfg.K, cfg.B), f32),
+            rep_key=jnp.zeros((2,), jnp.uint32),
+            rep_cache=jnp.zeros((nc1, cfg.K, cfg.B + 1), f32),
+            rep_Zcos=jnp.zeros((cfg.d, cfg.N_local), f32),
+        )
+    return dict(
+        Ysum0=jnp.zeros((1, 1), f32),
+        rep_Y=jnp.zeros((1, 1), f32),
+        rep_O=jnp.zeros((1, 1), f32),
+        rep_E=jnp.zeros((1, 1), f32),
+        rep_key=jnp.zeros((2,), jnp.uint32),
+        rep_cache=jnp.zeros((1, 1, 1), f32),
+        rep_Zcos=jnp.zeros((1, 1), f32),
+    )
+
 
 def empty_histories(cfg: EngineConfig) -> dict:
     f32 = jnp.float32

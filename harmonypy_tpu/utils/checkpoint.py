@@ -51,10 +51,25 @@ def expected_leaf_shapes(cfg) -> dict:
     (chunk_size x mesh). Used to validate resume compatibility up front."""
     nc1 = (cfg.N_local // cfg.chunk_size) if cfg.fused_estep else 1
     cache_rows = cfg.n_devices * nc1
+    D = cfg.n_devices
+    if cfg.defer_r:
+        defer = {
+            "Ysum0": (cfg.d, cfg.K), "rep_Y": (cfg.d, cfg.K),
+            "rep_O": (cfg.K, cfg.B), "rep_E": (cfg.K, cfg.B),
+            "rep_key": (2,), "rep_cache": (cache_rows, cfg.K, cfg.B + 1),
+            "rep_Zcos": (cfg.d, cfg.N_pad),
+        }
+    else:
+        defer = {
+            "Ysum0": (1, 1), "rep_Y": (1, 1), "rep_O": (1, 1),
+            "rep_E": (1, 1), "rep_key": (2,), "rep_cache": (D, 1, 1),
+            "rep_Zcos": (1, D),
+        }
     return {
         "Z_corr": (cfg.d, cfg.N_pad),
         "Z_cos": (cfg.d, cfg.N_pad),
-        "R": (cfg.K, cfg.N_pad),
+        "R": (1, D) if cfg.defer_r else (cfg.K, cfg.N_pad),
+        **defer,
         "Y": (cfg.d, cfg.K),
         "O": (cfg.K, cfg.B),
         "E": (cfg.K, cfg.B),

@@ -29,6 +29,14 @@ def _fused_chunk_rows(cfg: EngineConfig) -> int:
     return cfg.N_local // cfg.chunk_size  # nc_cap + 1 (incl. dummy chunk)
 
 
+def _kmeans_init_bytes(cfg: EngineConfig) -> int:
+    """Replicated k-means init working set: the (d, S) sample, the (T, S)
+    candidate-distance slabs, and Lloyd's (K, S) score/assignment arrays."""
+    S = min(cfg.kmeanspp_sample, cfg.N)
+    T = max(cfg.kmeanspp_trials, 2)
+    return S * (cfg.d + T + 3 * cfg.K) * 4
+
+
 def memory_envelope(cfg: EngineConfig) -> dict:
     """Modeled peak per-device bytes of a fit under `cfg`, by component.
 
@@ -37,6 +45,30 @@ def memory_envelope(cfg: EngineConfig) -> dict:
     Nl, K, d, B = cfg.N_local, cfg.K, cfg.d, cfg.B
     r_bytes = 2 if cfg.r_dtype == "bfloat16" else 4
     f = 4  # float32
+
+    if cfg.defer_r:
+        # Deferred-R: no K x N array ever exists. N-scale arrays are
+        # d/B-wide (Z_orig + Z_corr + Z_cos + rep_Zcos + Phi + mask + the
+        # replay passes' chunk-major views of two of them); K-scale memory
+        # is the per-chunk caches and the ridge replay's stacked
+        # normal-equation buffer.
+        from ..ops.partition import partition_geometry
+        geom = partition_geometry(cfg)
+        nc1 = geom.nc_cap + 1
+        B1 = cfg.B1
+        env = {
+            "Z (orig+corr+cos+replay)": (4 + 2) * d * Nl * f,
+            "Phi+mask": (B + 1) * Nl * f,
+            "chunk caches (x2)": 2 * nc1 * K * (B + 1) * f,
+            "ridge normal-eq buffer": nc1 * B1 * (B1 + d) * K * f,
+            "E-step slabs": geom.J_shard * cfg.chunk_size
+            * (4 * K + 2 * (d + B) + B1 * d) * f,
+            "centroid buffers": nc1 * K * (d + 2) * f,
+        }
+        env["kmeans init"] = _kmeans_init_bytes(cfg)
+        total = sum(env.values())
+        env["total"] = int(total * _SLACK)
+        return env
 
     env = {
         "R": K * Nl * r_bytes,
@@ -60,10 +92,7 @@ def memory_envelope(cfg: EngineConfig) -> dict:
         # and the block scatter pays one extra full copy of R.
         env["dist+scale"] = 2 * K * Nl * f
         env["R copy (block scatter)"] = K * Nl * r_bytes
-    # k-means init: replicated subsample + (K, S) distance slabs.
-    S = min(cfg.kmeanspp_sample, cfg.N)
-    T = max(cfg.kmeanspp_trials, 2)
-    env["kmeans init"] = S * (d + T * K) * f  # cand_d2 is (T|K, S)-scale
+    env["kmeans init"] = _kmeans_init_bytes(cfg)
 
     total = sum(env.values())
     env["total"] = int(total * _SLACK)
@@ -108,10 +137,22 @@ def check_capacity(cfg: EngineConfig, mesh) -> None:
     if env["total"] <= budget:
         return
 
-    # Build remedies: low_memory, then the minimum device count that fits.
+    # Build remedies: deferred-R, low_memory, then the minimum device count
+    # that fits.
     remedies = []
-    if cfg.r_dtype != "bfloat16":
-        import dataclasses
+    import dataclasses
+    if not cfg.defer_r:
+        from ..config import fused_geometry_ok
+        if fused_geometry_ok(cfg.N, cfg.n_devices, cfg.block_size,
+                             cfg.chunk_size):
+            cfg_d = dataclasses.replace(cfg, defer_r=True, use_pallas=False,
+                                        use_fused_xla=True)
+            d_total = memory_envelope(cfg_d)["total"]
+            if d_total <= budget:
+                remedies.append(
+                    f"pass defer_r=True (out-of-core R): modeled "
+                    f"{_fmt(d_total)}/device fits")
+    if cfg.r_dtype != "bfloat16" and not cfg.defer_r:
         cfg_lm = dataclasses.replace(cfg, r_dtype="bfloat16")
         lm_total = memory_envelope(cfg_lm)["total"]
         if lm_total <= budget:

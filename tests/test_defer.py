@@ -1,0 +1,126 @@
+"""Deferred-R (out-of-core) mode: the K x N soft-assignment matrix is never
+materialized; ridge, the next iteration's centroid update, and the .R
+property replay the final E-step round chunk-resident
+(VERDICT r2 #2 full answer + #6 ridge-R-reads elimination).
+
+Contracts tested here:
+  1. bitwise device-count invariance (the framework's core numerics promise)
+  2. equivalence with the stored-R fused-XLA path (same algorithm; tiny
+     reduction-shape rounding differences only)
+  3. checkpoint/resume round-trips bitwise
+  4. auto-enable when the stored-R envelope exceeds device capacity
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import harmonypy_tpu as hm
+from harmonypy_tpu.parallel.mesh import make_mesh
+
+
+def _problem(n=50_000, d=8, B=3, seed=0):
+    rng = np.random.default_rng(seed)
+    X = (rng.normal(size=(n, d)) + rng.normal(size=(n, 1)) * 0.5
+         ).astype(np.float32)
+    batches = rng.integers(0, B, size=n)
+    X += batches[:, None] * 0.8
+    meta = pd.DataFrame({"donor": [f"d{b}" for b in batches]})
+    return X, meta
+
+
+def _run(X, meta, nd, **kw):
+    kw.setdefault("max_iter_harmony", 2)
+    kw.setdefault("chunk_size", 1024)
+    return hm.run_harmony(X, meta, ["donor"], mesh=make_mesh(n_devices=nd),
+                          verbose=False, **kw)
+
+
+def test_defer_device_count_invariance_bitwise():
+    X, meta = _problem()
+    ref = _run(X, meta, 1, defer_r=True)
+    for nd in (2, 8):
+        ho = _run(X, meta, nd, defer_r=True)
+        np.testing.assert_array_equal(ref.Z_corr, ho.Z_corr)
+        np.testing.assert_array_equal(ref.R, ho.R)
+        assert ref.objective_kmeans == ho.objective_kmeans
+
+
+def test_defer_matches_stored_path():
+    """Same algorithm, same partition, same update equations — results agree
+    to float32 reduction tolerance (init statistics and ridge accumulate in
+    chunk-shaped rather than array-shaped reductions)."""
+    X, meta = _problem()
+    stored = _run(X, meta, 2)
+    assert stored.cfg.use_fused_xla and not stored.cfg.defer_r
+    defer = _run(X, meta, 2, defer_r=True)
+    assert defer.cfg.defer_r
+    np.testing.assert_allclose(stored.Z_corr, defer.Z_corr,
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(stored.R, defer.R, rtol=1e-3, atol=2e-5)
+    np.testing.assert_allclose(stored.objective_kmeans,
+                               defer.objective_kmeans, rtol=1e-5)
+    assert stored.kmeans_rounds == defer.kmeans_rounds
+
+
+def test_defer_r_property_consistency():
+    """The materialized R is a valid soft assignment consistent with the
+    state's O: columns sum to 1 and R Phi^T reproduces O."""
+    X, meta = _problem(n=30_000)
+    ho = _run(X, meta, 2, defer_r=True)
+    R = ho.R                                  # (N, K)
+    np.testing.assert_allclose(R.sum(axis=1), 1.0, atol=1e-4)
+    O = R.T @ ho.Phi                          # (K, B)
+    np.testing.assert_allclose(O, ho.O, rtol=1e-4, atol=5e-3)
+
+
+def test_defer_checkpoint_resume(tmp_path):
+    X, meta = _problem(n=30_000)
+    ckpt = str(tmp_path)
+    full = _run(X, meta, 2, defer_r=True, max_iter_harmony=4,
+                random_state=3, checkpoint_dir=ckpt)
+    resumed = _run(X, meta, 2, defer_r=True, max_iter_harmony=4,
+                   random_state=3,
+                   resume_from=f"{ckpt}/harmony_iter_2.npz")
+    np.testing.assert_array_equal(full.Z_corr, resumed.Z_corr)
+    np.testing.assert_array_equal(full.R, resumed.R)
+    np.testing.assert_allclose(full.objective_harmony,
+                               resumed.objective_harmony)
+
+
+def _mid_budget(cfg_stored):
+    """A byte budget between the stored-R and deferred-R envelopes."""
+    import dataclasses
+    from harmonypy_tpu.utils.memory import _HEADROOM, memory_envelope
+    stored = memory_envelope(cfg_stored)["total"]
+    defer = memory_envelope(dataclasses.replace(
+        cfg_stored, defer_r=True, use_pallas=False,
+        use_fused_xla=True))["total"]
+    assert defer < stored
+    return int((stored + defer) / 2 / _HEADROOM)
+
+
+def test_defer_auto_enables_over_capacity(monkeypatch):
+    """When the stored-R envelope exceeds the device budget but the
+    deferred-R envelope fits, run_harmony auto-selects defer_r and
+    completes."""
+    from harmonypy_tpu.config import EngineConfig, default_nclust
+    X, meta = _problem(n=30_000, d=6)
+    cfg_stored = EngineConfig(N=30_000, d=6, K=default_nclust(30_000), B=3,
+                              n_devices=1, use_fused_xla=True,
+                              chunk_size=1024)
+    monkeypatch.setenv("HARMONYPY_DEVICE_MEM_BYTES",
+                       str(_mid_budget(cfg_stored)))
+    ho = _run(X, meta, 1, max_iter_harmony=1)
+    assert ho.cfg.defer_r
+    assert np.all(np.isfinite(ho.Z_corr))
+
+
+def test_defer_capacity_error_names_defer(monkeypatch):
+    from harmonypy_tpu.utils.memory import CapacityError, check_capacity
+    from harmonypy_tpu.config import EngineConfig
+    cfg = EngineConfig(N=5_000_000, d=29, K=200, B=3, n_devices=1,
+                       use_fused_xla=True)
+    monkeypatch.setenv("HARMONYPY_DEVICE_MEM_BYTES", str(_mid_budget(cfg)))
+    with pytest.raises(CapacityError, match="defer_r"):
+        check_capacity(cfg, make_mesh(n_devices=1))

@@ -39,8 +39,10 @@ def test_fused_xla_matches_pallas_kernel():
             jnp.asarray(p["sigma"]), jnp.asarray(p["theta"]),
             jnp.asarray(p["Pr_b"]), jnp.asarray(p["O"]), jnp.asarray(p["E"]))
 
-    R_p, O_p, E_p, Ys_p, c_p, ke_p, en_p = fused_update_r(
+    R_p, O_p, E_p, c_p, yb_p, kb_p = fused_update_r(
         slots.reshape(-1), removal, *args, cfg, interpret=True)
+    Ys_p = np.asarray(yb_p)[: pgeom.nc_cap].sum(0).T
+    ke_p, en_p = np.asarray(kb_p)[: pgeom.nc_cap].sum(0)
 
     mesh = make_mesh(n_devices=1)
     fx = jax.jit(jax.shard_map(

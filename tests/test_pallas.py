@@ -88,11 +88,14 @@ def test_fused_kernel_matches_chunk_oracle(block_size):
     pgeom, slots, granks, gtbl = _tables(jax.random.PRNGKey(3), cfg)
     cache = chunk_stats(jnp.asarray(p["R"]), jnp.asarray(p["Phi"]), cfg)
     removal = removal_from_cache(cache[: pgeom.nc_cap], gtbl, pgeom)
-    R2, O2, E2, Ysum, cache2, kerr, ent = fused_update_r(
+    R2, O2, E2, cache2, ybuf, kbuf = fused_update_r(
         np.asarray(slots).reshape(-1), removal, jnp.asarray(p["Zc"]),
         jnp.asarray(p["Phi"]), jnp.asarray(p["Y"]), jnp.asarray(p["sigma"]),
         jnp.asarray(p["theta"]), jnp.asarray(p["Pr_b"]), jnp.asarray(p["O"]),
         jnp.asarray(p["E"]), cfg, interpret=True)
+    # Engine-equivalent reductions of the per-chunk buffers (1 device).
+    Ysum = np.asarray(ybuf)[: geom.n_chunks].sum(0).T
+    kerr, ent = np.asarray(kbuf)[: geom.n_chunks].sum(0)
 
     slots_np = np.asarray(slots)                 # (n_blocks, J)
     R_ref, E_ref, O_ref = _oracle_chunked(p, slots_np, geom)
@@ -127,17 +130,27 @@ def test_pallas_engine_path_matches_xla_path():
     mesh = make_mesh(n_devices=1)
 
     ho_x = hm.run_harmony(X, meta, ["batch"], mesh=mesh, verbose=False,
-                          use_pallas=False)
+                          use_pallas=False, chunk_size=128)
     ho_p = hm.run_harmony(X, meta, ["batch"], mesh=mesh, verbose=False,
                           use_pallas=True, chunk_size=128)
-    # Different randomization granularity => not identical, but the corrected
-    # embeddings must agree closely and both must converge.
-    corr = np.corrcoef(ho_x.Z_corr.ravel(), ho_p.Z_corr.ravel())[0, 1]
-    assert corr > 0.99, corr
+    # Same chunk partition, same per-chunk statistics GEMM, same fixed-frame
+    # reduction orders: the two fused paths run identical arithmetic. On TPU
+    # hardware the compiled Mosaic kernel and compiled XLA produce BITWISE
+    # identical results (verified by tools/bitwise_xpath.py; VERDICT r2 #3).
+    # On CPU the kernel runs in interpret mode, where the backend's dot
+    # implementation differs by batching shape — ulp-level only.
+    if jax.devices()[0].platform == "tpu":  # pragma: no cover
+        np.testing.assert_array_equal(ho_x.Z_corr, ho_p.Z_corr)
+        np.testing.assert_array_equal(ho_x.R, ho_p.R)
+        assert ho_x.objective_kmeans == ho_p.objective_kmeans
+    else:
+        np.testing.assert_allclose(ho_x.Z_corr, ho_p.Z_corr,
+                                   rtol=1e-4, atol=2e-4)
+        np.testing.assert_allclose(ho_x.R, ho_p.R, rtol=1e-3, atol=2e-5)
+        np.testing.assert_allclose(ho_x.objective_kmeans,
+                                   ho_p.objective_kmeans, rtol=1e-5)
+        assert ho_x.kmeans_rounds == ho_p.kmeans_rounds
     assert ho_p.objective_harmony[-1] < ho_p.objective_harmony[0]
-    lx = hm.compute_lisi(ho_x.Z_corr, meta, ["batch"]).mean()
-    lp = hm.compute_lisi(ho_p.Z_corr, meta, ["batch"]).mean()
-    assert abs(lx - lp) < 0.25, (lx, lp)
 
 
 def test_pallas_supported_gating():
