@@ -38,9 +38,8 @@ from .ops.ridge import moe_correct_ridge, solve_w
 from .ops.objective import (chunk_objective_partials, compute_objective_terms,
                             cross_entropy_from_stats)
 from .ops.pallas.update_r_fused import chunk_stats, fused_update_r
-from .ops.partition import (
-    block_ranks, frame_rows, frame_sum, global_slot_table, partition_geometry,
-    round_tables, shard_chunk_gids, shard_slot_tables, stripe_blocks)
+from .ops.partition import (frame_sum, partition_geometry, round_tables,
+                            shard_chunk_gids)
 from .ops.update_r_fused_xla import (fused_update_nor_xla3,
                                      fused_update_r_xla3, replay_apply,
                                      replay_normal_eq, replay_r)
