@@ -78,15 +78,15 @@ def main():
     from harmonypy_tpu.parallel.mesh import make_mesh, AXIS
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    from harmonypy_tpu.config import fused_geometry_ok, pallas_supported
+    from harmonypy_tpu.config import fused_geometry_ok
 
     mesh = make_mesh()
     n_dev = int(mesh.devices.size)
-    use_pallas = (mesh.devices.flat[0].platform == "tpu"
-                  and pallas_supported(N_CELLS, n_dev))
-    use_fused_xla = (not use_pallas) and fused_geometry_ok(N_CELLS, n_dev)
+    # The library default path: deferred-R on the fused-XLA E-step (faster
+    # than both stored-R variants AND K-independent memory; api.py).
+    fused = fused_geometry_ok(N_CELLS, n_dev)
     cfg = EngineConfig(N=N_CELLS, d=N_PCS, K=K, B=N_BATCHES, n_devices=n_dev,
-                       use_pallas=use_pallas, use_fused_xla=use_fused_xla)
+                       use_fused_xla=fused, defer_r=fused)
     engine = get_engine(cfg, mesh)
 
     t0 = time.time()

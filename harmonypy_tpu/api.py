@@ -16,8 +16,7 @@ import pandas as pd
 
 import jax
 
-from .config import (EngineConfig, default_nclust, fused_geometry_ok,
-                     pallas_supported)
+from .config import EngineConfig, default_nclust, fused_geometry_ok
 from .engine import get_engine
 from .state import HarmonyParams, HarmonyState
 from .parallel.mesh import default_mesh, make_mesh
@@ -81,14 +80,15 @@ def run_harmony(
                       the pre-cast values; the per-cell fallback instead
                       keeps O/E exactly consistent with the stored (rounded)
                       values. Enables e.g. K=200 x 5M cells on one 16 GB chip.
-      defer_r         deferred-R (out-of-core) mode: the K x N soft
-                      assignments are NEVER materialized on device — ridge,
-                      the next iteration's centroid update, and the .R
-                      property replay the final E-step round chunk-resident
-                      instead. Device memory becomes K-independent at N
-                      scale. Default None = auto: enabled when the modeled
-                      memory envelope exceeds the device capacity and the
-                      fused-XLA geometry applies.
+      defer_r         deferred-R mode — THE DEFAULT whenever the fused
+                      chunk geometry applies: the K x N soft assignments
+                      are NEVER materialized on device; ridge, the next
+                      iteration's centroid update, and the .R property
+                      replay the final E-step round chunk-resident instead.
+                      Measured faster than both stored-R variants at 858k
+                      cells AND K-independent device memory at N scale
+                      (K=200 x 5M on one 16 GB chip). Pass defer_r=False
+                      (or use_pallas=True) for the stored-R paths.
     """
     N = meta_data.shape[0]
     data_mat = np.asarray(data_mat.values if hasattr(data_mat, "values") else data_mat)
@@ -252,14 +252,18 @@ class Harmony:
                     f"smaller chunk_size.")
             use_pallas = False
         if use_pallas is None:
-            # Fused Pallas E-step: on by default on a single real TPU chip
-            # whenever the chunk geometry fits (config.pallas_supported).
-            use_pallas = (mesh.devices.flat[0].platform == "tpu"
-                          and pallas_supported(self.N, n_devices,
-                                               float(block_size), chunk_size))
-        # Multi-device (or non-TPU) large problems use the fused XLA E-step —
-        # same chunk-cache design, per-block psums across shards; small
-        # problems fall back to the per-cell path (ops/update_r.py).
+            use_pallas = False
+        if defer_r is None:
+            # Deferred-R is the DEFAULT on the fused path: measured FASTER
+            # than both stored variants at 858k on one chip (0.109 s vs
+            # 0.123 s Pallas / 0.245 s stored-XLA — no R writes, no scan
+            # carry scatters, ridge fused into the replay) and its device
+            # memory is K-independent at N scale. Explicit use_pallas=True
+            # selects the stored-R Pallas kernel (bitwise-interchangeable
+            # with the fused-XLA rounds on TPU; tools/bitwise_xpath.py).
+            defer_r = fused_ok and not use_pallas
+        # Small problems (too few chunks for the fused geometry) fall back
+        # to the per-cell path (ops/update_r.py).
         use_fused_xla = (not use_pallas) and fused_ok
 
         def build_cfg(defer: bool) -> EngineConfig:
@@ -302,25 +306,13 @@ class Harmony:
                 f"fused path.")
         # Capacity preflight (the CPU reference has host-RAM capacity,
         # harmony.py:35-46; an accelerator has a hard HBM ceiling): fail
-        # fast with remedies instead of a raw XLA OOM mid-compile. When the
-        # stored-R envelope is over budget and deferred-R applies, fall over
-        # to it automatically (defer_r=None means auto).
+        # fast with remedies instead of a raw XLA OOM mid-compile.
+        # Deferred-R (the default fused path) is K-independent at N scale;
+        # an explicitly stored-R config that is over budget gets an error
+        # naming defer_r among the remedies.
         if not os.environ.get("HARMONYPY_SKIP_CAPACITY_CHECK"):
-            from .utils.memory import CapacityError, check_capacity
-            try:
-                check_capacity(cfg, mesh)
-            except CapacityError:
-                if defer_r is None and fused_ok:
-                    cfg_d = build_cfg(True)
-                    check_capacity(cfg_d, mesh)  # raises if still over
-                    logger.warning(
-                        f"N={self.N}, K={K}: stored-R memory envelope "
-                        f"exceeds device capacity; enabling deferred-R "
-                        f"(out-of-core) mode — R is replayed chunk-resident "
-                        f"instead of materialized.")
-                    cfg = cfg_d
-                else:
-                    raise
+            from .utils.memory import check_capacity
+            check_capacity(cfg, mesh)
         self.cfg = cfg
         engine = get_engine(cfg, mesh)
         self._engine = engine

@@ -66,8 +66,11 @@ class phase_timer:
 
 def estep_traffic_model_gb(cfg) -> float:
     """Minimum per-kmeans-round HBM traffic of the fused E-step
-    (docs/design.md §2): read Z_cos + Phi once, write R once."""
-    r_bytes = 2 if cfg.r_dtype == "bfloat16" else 4
+    (docs/design.md §2): read Z_cos + Phi once, write R once — except in
+    deferred-R mode, where R is never written (the round is then
+    VPU/compute-bound, not bandwidth-bound, so the frac-of-peak number is a
+    lower bound on efficiency rather than a roofline position)."""
+    r_bytes = 0 if cfg.defer_r else (2 if cfg.r_dtype == "bfloat16" else 4)
     return cfg.N * (4 * cfg.d + 4 * cfg.B + r_bytes * cfg.K) / 1e9
 
 
@@ -198,6 +201,17 @@ def profile_fit(cfg, mesh, data, params, key=None, reps: int = 16,
                                         use_fused_xla=True)
             tx, _ = round_time(cfg_x)
             res["fused_xla_round_s"] = round(tx, 5)
+        elif cfg.defer_r and jax.devices()[0].platform == "tpu":
+            # A/B vs the stored-R Pallas kernel (the former default).
+            from ..config import pallas_supported
+            if pallas_supported(cfg.N, cfg.n_devices, cfg.block_size,
+                                cfg.chunk_size):
+                check_budget()
+                cfg_p = dataclasses.replace(cfg, defer_r=False,
+                                            use_fused_xla=False,
+                                            use_pallas=True)
+                tp, _ = round_time(cfg_p)
+                res["pallas_stored_round_s"] = round(tp, 5)
     except OverBudget as e:
         res["phases_truncated"] = str(e)
     return res

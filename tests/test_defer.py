@@ -51,10 +51,10 @@ def test_defer_matches_stored_path():
     to float32 reduction tolerance (init statistics and ridge accumulate in
     chunk-shaped rather than array-shaped reductions)."""
     X, meta = _problem()
-    stored = _run(X, meta, 2)
+    stored = _run(X, meta, 2, defer_r=False)
     assert stored.cfg.use_fused_xla and not stored.cfg.defer_r
-    defer = _run(X, meta, 2, defer_r=True)
-    assert defer.cfg.defer_r
+    defer = _run(X, meta, 2)
+    assert defer.cfg.defer_r  # deferred-R is the fused-path default
     np.testing.assert_allclose(stored.Z_corr, defer.Z_corr,
                                rtol=2e-4, atol=2e-4)
     np.testing.assert_allclose(stored.R, defer.R, rtol=1e-3, atol=2e-5)

@@ -130,7 +130,7 @@ def test_pallas_engine_path_matches_xla_path():
     mesh = make_mesh(n_devices=1)
 
     ho_x = hm.run_harmony(X, meta, ["batch"], mesh=mesh, verbose=False,
-                          use_pallas=False, chunk_size=128)
+                          use_pallas=False, defer_r=False, chunk_size=128)
     ho_p = hm.run_harmony(X, meta, ["batch"], mesh=mesh, verbose=False,
                           use_pallas=True, chunk_size=128)
     # Same chunk partition, same per-chunk statistics GEMM, same fixed-frame
