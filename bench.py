@@ -82,8 +82,9 @@ def main():
 
     mesh = make_mesh()
     n_dev = int(mesh.devices.size)
-    # The library default path: deferred-R on the fused-XLA E-step (faster
-    # than both stored-R variants AND K-independent memory; api.py).
+    # The library default path (api.py): deferred-R on the fused-XLA
+    # E-step — faster than both stored-R variants (measured A/B in
+    # tools/ab_defer_858k.py), bitwise mesh-invariant, K-independent memory.
     fused = fused_geometry_ok(N_CELLS, n_dev)
     cfg = EngineConfig(N=N_CELLS, d=N_PCS, K=K, B=N_BATCHES, n_devices=n_dev,
                        use_fused_xla=fused, defer_r=fused)

@@ -243,25 +243,29 @@ class Harmony:
         n_devices = int(mesh.devices.size)
         fused_ok = fused_geometry_ok(self.N, n_devices, float(block_size),
                                      int(chunk_size))
-        if defer_r:
-            if not fused_ok:
-                raise ValueError(
-                    f"defer_r requires the fused-XLA chunk geometry "
-                    f"(>= {int(np.ceil(1 / block_size))} chunks of "
-                    f"{chunk_size} cells; N={self.N} has too few). Use a "
-                    f"smaller chunk_size.")
-            use_pallas = False
-        if use_pallas is None:
-            use_pallas = False
+        if defer_r and not fused_ok:
+            raise ValueError(
+                f"defer_r requires the fused chunk geometry "
+                f"(>= {int(np.ceil(1 / block_size))} chunks of "
+                f"{chunk_size} cells; N={self.N} has too few). Use a "
+                f"smaller chunk_size.")
         if defer_r is None:
             # Deferred-R is the DEFAULT on the fused path: measured FASTER
             # than both stored variants at 858k on one chip (0.109 s vs
-            # 0.123 s Pallas / 0.245 s stored-XLA — no R writes, no scan
-            # carry scatters, ridge fused into the replay) and its device
-            # memory is K-independent at N scale. Explicit use_pallas=True
-            # selects the stored-R Pallas kernel (bitwise-interchangeable
-            # with the fused-XLA rounds on TPU; tools/bitwise_xpath.py).
-            defer_r = fused_ok and not use_pallas
+            # 0.123 s stored-Pallas / 0.245 s stored-XLA — no R writes, no
+            # scan carry scatters, ridge fused into the replay) and its
+            # device memory is K-independent at N scale. An explicit
+            # use_pallas=True keeps the stored-R kernel path
+            # (bitwise-interchangeable rounds; tools/bitwise_xpath.py).
+            defer_r = fused_ok and use_pallas is not True
+        if use_pallas is None:
+            # The Pallas kernel is opt-in: with deferred-R as the default,
+            # the measured A/B between kernel rounds and fused-XLA rounds is
+            # within noise (the stored-R write the kernel used to save is
+            # gone), and one uniform program per mesh size is simpler. The
+            # kernel remains available (use_pallas=True, with or without
+            # defer_r) and is bitwise-interchangeable on TPU.
+            use_pallas = False
         # Small problems (too few chunks for the fused geometry) fall back
         # to the per-cell path (ops/update_r.py).
         use_fused_xla = (not use_pallas) and fused_ok
@@ -270,8 +274,8 @@ class Harmony:
             return EngineConfig(
                 N=self.N, d=self.d, K=K, B=self.B,
                 n_devices=n_devices,
-                use_pallas=bool(use_pallas) and not defer,
-                use_fused_xla=bool(use_fused_xla) or defer,
+                use_pallas=bool(use_pallas),
+                use_fused_xla=bool(use_fused_xla),
                 defer_r=defer,
                 chunk_size=int(chunk_size),
                 max_iter_harmony=max_iter_harmony,

@@ -115,15 +115,18 @@ class EngineConfig:
     use_fused_xla: bool = False
     chunk_size: int = 2048
 
-    # Deferred-R (out-of-core) mode: the K x N soft-assignment matrix is
-    # NEVER materialized. R is write-only in the fused E-step design (all
-    # statistics accumulate from in-flight values), so k-means rounds skip
-    # the write entirely and every later consumer — the ridge correction,
-    # the next iteration's centroid numerator, the user-facing .R property —
-    # REPLAYS the final round's E-step from a saved (Y, O, E, cache, key)
-    # bundle, chunk-resident. Device memory becomes independent of K at
-    # N scale: K=200 x 5M cells fits one 16 GB chip. Requires the fused-XLA
-    # E-step (any mesh).
+    # Deferred-R (out-of-core) mode — the DEFAULT on the fused path: the
+    # K x N soft-assignment matrix is NEVER materialized. R is write-only in
+    # the fused E-step design (all statistics accumulate from in-flight
+    # values), so k-means rounds skip the write entirely and every later
+    # consumer — the ridge correction, the next iteration's centroid
+    # numerator, the user-facing .R property — REPLAYS the final round's
+    # E-step from a saved (Y, O, E, cache, key) bundle, chunk-resident.
+    # Faster than the stored paths (no K x N writes; replay-fused ridge)
+    # AND device memory becomes independent of K at N scale: K=200 x 5M
+    # cells fits one 16 GB chip. Rounds run the fused-XLA E-step on any
+    # mesh, or the Pallas kernel's no-R variant on a single TPU chip
+    # (bitwise interchangeable; the replay passes are always XLA).
     defer_r: bool = False
 
     @property
@@ -208,8 +211,9 @@ class EngineConfig:
         assert self.n_devices >= 1
         assert 0.0 < self.block_size <= 1.0
         assert not (self.use_pallas and self.use_fused_xla), self
-        assert not (self.defer_r and not self.use_fused_xla), \
-            "defer_r requires the fused-XLA E-step"
+        assert not (self.defer_r and not self.fused_estep), \
+            "defer_r requires a fused E-step (XLA any mesh, or the Pallas " \
+            "kernel's no-R variant on one chip)"
         if self.use_pallas:
             assert pallas_supported(self.N, self.n_devices, self.block_size,
                                     self.chunk_size), self

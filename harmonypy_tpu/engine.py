@@ -531,24 +531,38 @@ class HarmonyEngine:
         i: jax.Array
         converged: jax.Array
 
-    def _cluster_defer(self, state: HarmonyState, Z3, P3,
+    def _cluster_defer(self, state: HarmonyState, Z3, P3, Z_cos, Phi,
                        params: HarmonyParams) -> "_DeferCarry":
-        """Deferred-R k-means loop: every round runs the no-R fused-XLA
-        E-step (nothing K x N read or written) and saves its start-of-round
-        inputs so the final round can be replayed bitwise by the ridge
-        correction and the .R materializer."""
+        """Deferred-R k-means loop: every round runs a no-R fused E-step
+        (nothing K x N read or written) and saves its start-of-round inputs
+        so the final round can be replayed bitwise by the ridge correction
+        and the .R materializer. Rounds run the fused-XLA implementation on
+        any mesh, or the Pallas kernel's no-R variant on a single TPU chip
+        (bitwise interchangeable — tools/bitwise_xpath.py)."""
         cfg = self.cfg
         geom = partition_geometry(cfg)
+        gids = shard_chunk_gids(geom, AXIS)
         C = HarmonyEngine._DeferCarry
 
         def body(c: C) -> C:
             Y = l2_normalize_cols(c.Ysum)              # harmony.py:443-444
             key, k_r = jax.random.split(c.key)
             slots, granks, removal = round_tables(k_r, c.cache, geom, AXIS)
-            O, E, Ysum, cache, kerr, ent = fused_update_nor_xla3(
-                slots, granks, removal, Z3, P3, Y,
-                params.sigma, params.theta, params.Pr_b, c.O, c.E, cfg,
-                AXIS)
+            if cfg.use_pallas:
+                _, O, E, cache, ybuf, kbuf = fused_update_r(
+                    slots.reshape(-1), removal, Z_cos, Phi, Y,
+                    params.sigma, params.theta, params.Pr_b, c.O, c.E, cfg,
+                    interpret=self._pallas_interpret, write_r=False)
+                Ysum = frame_sum(ybuf[: geom.nc_cap], gids, geom.NC_fixed,
+                                 AXIS).T
+                ko = frame_sum(kbuf[: geom.nc_cap], gids, geom.NC_fixed,
+                               AXIS)
+                kerr, ent = ko[0], ko[1]
+            else:
+                O, E, Ysum, cache, kerr, ent = fused_update_nor_xla3(
+                    slots, granks, removal, Z3, P3, Y,
+                    params.sigma, params.theta, params.Pr_b, c.O, c.E, cfg,
+                    AXIS)
             nc = jnp.float32(2000.0 / cfg.N)
             terms = (kerr * nc, ent * nc,
                      cross_entropy_from_stats(O, E, params, cfg))
@@ -594,7 +608,8 @@ class HarmonyEngine:
             Z3 = state.Z_cos.reshape(cfg.d, nc1, CH).transpose(1, 0, 2)
             P3 = Phi.reshape(cfg.B, nc1, CH).transpose(1, 0, 2)
 
-            carry = self._cluster_defer(state, Z3, P3, params)
+            carry = self._cluster_defer(state, Z3, P3, state.Z_cos, Phi,
+                                        params)
 
             kmeans_rounds, n_rounds = append(
                 state.kmeans_rounds, state.n_rounds, carry.i)

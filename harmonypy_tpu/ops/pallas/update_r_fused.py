@@ -109,6 +109,25 @@ def chunk_stats(R, Phi, cfg: EngineConfig) -> jnp.ndarray:
 def _kernel(slots_ref, Zc, Phi, Y, sigma, theta, prb, O_in, E_in, rem,
             R_out, O_out, E_out, cache_out, ybuf_out, kbuf_out,
             acc, *, J: int):
+    _kernel_impl(slots_ref, Zc, Phi, Y, sigma, theta, prb, O_in, E_in, rem,
+                 O_out, E_out, cache_out, ybuf_out, kbuf_out, acc,
+                 R_out=R_out, J=J)
+
+
+def _kernel_nor(slots_ref, Zc, Phi, Y, sigma, theta, prb, O_in, E_in, rem,
+                O_out, E_out, cache_out, ybuf_out, kbuf_out,
+                acc, *, J: int):
+    """Deferred-R variant: identical arithmetic, no R output (the round's
+    only K x N HBM traffic disappears; a later XLA replay — bitwise
+    interchangeable with this kernel — reproduces r on demand)."""
+    _kernel_impl(slots_ref, Zc, Phi, Y, sigma, theta, prb, O_in, E_in, rem,
+                 O_out, E_out, cache_out, ybuf_out, kbuf_out, acc,
+                 R_out=None, J=J)
+
+
+def _kernel_impl(slots_ref, Zc, Phi, Y, sigma, theta, prb, O_in, E_in, rem,
+                 O_out, E_out, cache_out, ybuf_out, kbuf_out,
+                 acc, *, R_out, J: int):
     b = pl.program_id(0)
     j = pl.program_id(1)
 
@@ -146,8 +165,9 @@ def _kernel(slots_ref, Zc, Phi, Y, sigma, theta, prb, O_in, E_in, rem,
         wdiv, pb, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     r_new = r_new / jnp.maximum(jnp.sum(r_new, axis=0, keepdims=True), CLAMP)
-    # Storage cast only; every statistic below uses the fp32 r_new.
-    R_out[:] = r_new.astype(R_out.dtype)
+    if R_out is not None:
+        # Storage cast only; every statistic below uses the fp32 r_new.
+        R_out[:] = r_new.astype(R_out.dtype)
 
     # ALL linear statistics of r in one MXU contraction against the stacked
     # features G = [1; Phi; Z] — the same single GEMM the XLA path runs
@@ -186,7 +206,8 @@ def _kernel(slots_ref, Zc, Phi, Y, sigma, theta, prb, O_in, E_in, rem,
 
 
 def fused_update_r(slots, removal, Z_cos, Phi, Y, sigma, theta, Pr_b, O, E,
-                   cfg: EngineConfig, interpret: bool = False):
+                   cfg: EngineConfig, interpret: bool = False,
+                   write_r: bool = True):
     """One full E-step. Returns (R, O, E, cache, ybuf, kbuf): the per-chunk
     centroid-numerator buffer ybuf (n_chunks+1, K, d) and objective-partial
     buffer kbuf (n_chunks+1, 2) are reduced by the engine through the same
@@ -231,8 +252,8 @@ def fused_update_r(slots, removal, Z_cos, Phi, Y, sigma, theta, Pr_b, O, E,
             pl.BlockSpec((K, B), const_map),     # E
             pl.BlockSpec((1, K, B + 1), block_map),   # removal
         ],
-        out_specs=[
-            pl.BlockSpec((K, CH), chunk_map),    # R (write-only)
+        out_specs=([pl.BlockSpec((K, CH), chunk_map)] if write_r else [])
+        + [
             pl.BlockSpec((K, B), const_map),     # O
             pl.BlockSpec((K, B), const_map),     # E
             pl.BlockSpec((1, K, B + 1), cache_map),   # per-chunk cache
@@ -244,8 +265,8 @@ def fused_update_r(slots, removal, Z_cos, Phi, Y, sigma, theta, Pr_b, O, E,
         ],
     )
 
-    out_shape = [
-        jax.ShapeDtypeStruct((K, N_alloc), cfg.r_jnp_dtype),
+    out_shape = ([jax.ShapeDtypeStruct((K, N_alloc), cfg.r_jnp_dtype)]
+                 if write_r else []) + [
         jax.ShapeDtypeStruct((K, B), jnp.float32),
         jax.ShapeDtypeStruct((K, B), jnp.float32),
         jax.ShapeDtypeStruct((nc1, K, B + 1), jnp.float32),
@@ -253,8 +274,8 @@ def fused_update_r(slots, removal, Z_cos, Phi, Y, sigma, theta, Pr_b, O, E,
         jax.ShapeDtypeStruct((nc1, 1, 2), jnp.float32),
     ]
 
-    R2, O2, E2, cache, ybuf, kbuf = pl.pallas_call(
-        functools.partial(_kernel, J=J),
+    outs = pl.pallas_call(
+        functools.partial(_kernel if write_r else _kernel_nor, J=J),
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
@@ -266,4 +287,6 @@ def fused_update_r(slots, removal, Z_cos, Phi, Y, sigma, theta, Pr_b, O, E,
     # zeros) by every block's trailing always-dummy grid step
     # (pallas_geometry), so the write-only outputs are fully initialized by
     # the kernel itself.
+    R2 = outs[0] if write_r else None
+    O2, E2, cache, ybuf, kbuf = outs[-5:]
     return R2, O2, E2, cache, ybuf, kbuf[:, 0, :]

@@ -124,3 +124,28 @@ def test_defer_capacity_error_names_defer(monkeypatch):
     monkeypatch.setenv("HARMONYPY_DEVICE_MEM_BYTES", str(_mid_budget(cfg)))
     with pytest.raises(CapacityError, match="defer_r"):
         check_capacity(cfg, make_mesh(n_devices=1))
+
+
+def test_pallas_defer_backend_matches_xla_defer():
+    """Deferred-R rounds can run through the Pallas kernel's no-R variant
+    (single chip). On TPU hardware the two backends are bitwise identical
+    (tools/bitwise_xpath.py); in CPU interpret mode the backend's dot
+    implementations differ by batching shape — ulp-level only."""
+    import jax
+
+    X, meta = _problem(n=30_000)
+    mesh = make_mesh(n_devices=1)
+    kw = dict(mesh=mesh, verbose=False, chunk_size=1024, max_iter_harmony=2)
+    hx = hm.run_harmony(X, meta, ["donor"], defer_r=True, use_pallas=False,
+                        **kw)
+    hp = hm.run_harmony(X, meta, ["donor"], defer_r=True, use_pallas=True,
+                        **kw)
+    assert hp.cfg.use_pallas and hp.cfg.defer_r
+    if jax.devices()[0].platform == "tpu":  # pragma: no cover
+        np.testing.assert_array_equal(hx.Z_corr, hp.Z_corr)
+        np.testing.assert_array_equal(hx.R, hp.R)
+    else:
+        np.testing.assert_allclose(hx.Z_corr, hp.Z_corr, rtol=1e-4,
+                                   atol=2e-4)
+        np.testing.assert_allclose(hx.R, hp.R, rtol=1e-3, atol=2e-5)
+        assert hx.kmeans_rounds == hp.kmeans_rounds

@@ -75,8 +75,11 @@ def main():
     a = run_variant("stored_pallas", use_pallas=True)
     b = run_variant("defer_xla", use_fused_xla=True, defer_r=True)
     c = run_variant("stored_xla", use_fused_xla=True)
+    d = run_variant("defer_pallas", use_pallas=True, defer_r=True)
     print(json.dumps({"defer_vs_stored_xla": round(b / c, 3),
-                      "defer_vs_pallas": round(b / a, 3)}), flush=True)
+                      "defer_vs_pallas": round(b / a, 3),
+                      "defer_pallas_vs_defer_xla": round(d / b, 3)}),
+          flush=True)
 
 
 if __name__ == "__main__":
