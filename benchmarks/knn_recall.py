@@ -64,7 +64,7 @@ def measure(n: int = 131_072, n_queries: int = 16_384, d: int = 29,
     mad = float(np.mean(np.abs(lisi_ex - lisi_ap)))
 
     return {"approx_knn_recall": round(float(recall), 4),
-            "approx_knn_lisi_mad": round(mad, 5),
+            "approx_knn_lisi_mad": float(f"{mad:.3g}"),
             "approx_knn_n": n, "approx_knn_queries": n_queries}
 
 
