@@ -90,11 +90,19 @@ def main():
                        use_fused_xla=fused, defer_r=fused)
     engine = get_engine(cfg, mesh)
 
+    def stage(msg):
+        # Progress to stderr: through a congested tunnel any stage below can
+        # stall for minutes — make the wait attributable from the log.
+        print(f"# [{time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr,
+              flush=True)
+
+    stage("generating data (host)")
     t0 = time.time()
     Zh, Ph, mh = _gen_host(cfg)
     t_gen = time.time() - t0
     sh2 = NamedSharding(mesh, P(None, AXIS))
     sh1 = NamedSharding(mesh, P(AXIS))
+    stage("uploading ~110 MB to device")
     t0 = time.time()
     Z = jax.device_put(Zh, sh2)
     Phi = jax.device_put(Ph, sh2)
@@ -120,17 +128,21 @@ def main():
     # Warm-up with a client/server breakdown (VERDICT r2 #1): lower and
     # compile are client-side (cacheable in .jax_cache); the first
     # execution pays the server-side compile on tunnel backends.
+    stage("lowering fit program")
     t0 = time.time()
     lowered = engine.fit_fn.lower(data, params, key)
     t_lower = time.time() - t0
+    stage("client-side compile (or .jax_cache load)")
     t0 = time.time()
     compiled = lowered.compile()
     t_client_compile = time.time() - t0
+    stage("first execution (pays server-side compile on tunnel backends)")
     t0 = time.time()
     state = compiled(data, params, key)
     iters = sync(state)
     t_first = time.time() - t0
     warm = t_lower + t_client_compile + t_first
+    stage("measuring")
 
     t0 = time.time()
     state = compiled(data, params, key)

@@ -65,6 +65,9 @@ def _add_lisi(sub):
                    help="neighbor search: exact (reference semantics) or "
                         "the TPU's hardware approximate top-k "
                         "(recall ~0.95; ~50x faster at atlas scale)")
+    p.add_argument("--knn-recall", type=float, default=0.95,
+                   help="per-tile recall target for --knn approx "
+                        "(0 < r <= 1; higher = more accurate, slower)")
     p.add_argument("--out", default=None, help="output TSV (default: stdout)")
 
 
@@ -97,7 +100,8 @@ def main(argv=None):
         labels = args.labels.split(",")
         t0 = time.time()
         out = compute_lisi(X, meta, labels, perplexity=args.perplexity,
-                           sample=args.sample, knn=args.knn)
+                           sample=args.sample, knn=args.knn,
+                           knn_recall_target=args.knn_recall)
         if isinstance(out, tuple):
             lisi, qidx = out
             df = pd.DataFrame(lisi, columns=labels)

@@ -292,15 +292,20 @@ class Harmony:
 
         cfg = build_cfg(bool(defer_r))
         if not cfg.fused_estep:
-            from .config import cell_tile_geom
+            from .config import cell_tile_geom, expected_skip_fraction
             G, cap = cell_tile_geom(cfg.n_blocks)
-            logger.debug(
+            frac = expected_skip_fraction(cfg.n_blocks)
+            # Exact binomial expectation for THIS geometry (not prose): the
+            # 4-sigma capacity-rule assumption is checked every run, and a
+            # geometry that ever pushes it above 1e-4 turns user-visible.
+            emit = logger.warning if frac > 1e-4 else logger.debug
+            emit(
                 f"per-cell E-step: the iid block partition's tile-capacity "
-                f"rule (tile={G} cells, cap={cap} per block) skips "
-                f"~2e-5 of (tile, block) groups' overflow cells per round — "
-                f"those cells keep their previous assignment for one round "
-                f"(bound tested in tests/test_partition.py; see README "
-                f"'Per-cell path capacity rule').")
+                f"rule (tile={G} cells, cap={cap} per block) skips an "
+                f"expected {frac:.2e} of cells per round — those cells keep "
+                f"their previous assignment for one round (bound tested in "
+                f"tests/test_partition.py; see README 'Per-cell path "
+                f"capacity rule').")
         if not cfg.fused_estep and self.N > _SLOW_PATH_WARN_N:
             logger.warning(
                 f"N={self.N}: chunk geometry (chunk_size={chunk_size}, "

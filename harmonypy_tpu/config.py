@@ -48,6 +48,25 @@ def cell_tile_geom(nb: int) -> tuple[int, int]:
     return nb * m, m + int(math.ceil(4.0 * math.sqrt(m)))
 
 
+def expected_skip_fraction(nb: int) -> float:
+    """Exact expected fraction of cells the per-cell capacity rule skips per
+    round: E[(X - cap)^+] / m with X ~ Binomial(G, 1/nb) the occupancy of one
+    (tile, block) group. Makes the ~4-sigma design assumption of
+    cell_tile_geom observable at runtime instead of hard-coded prose."""
+    G, cap = cell_tile_geom(nb)
+    if cap >= G:
+        return 0.0
+    p = 1.0 / nb
+    lp, l1p = math.log(p), math.log1p(-p)
+    lgG = math.lgamma(G + 1)
+    acc = 0.0
+    for x in range(cap + 1, G + 1):
+        lpmf = (lgG - math.lgamma(x + 1) - math.lgamma(G - x + 1)
+                + x * lp + (G - x) * l1p)
+        acc += (x - cap) * math.exp(lpmf)
+    return acc / CELL_TILE_M
+
+
 def round_up(x: int, m: int) -> int:
     return cdiv(x, m) * m
 

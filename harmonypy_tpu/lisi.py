@@ -49,10 +49,11 @@ def _knn_impl(Q: jnp.ndarray, X: jnp.ndarray, n_neighbors: int,
     a 16 GB chip once top-k workspace is added). Exact by default: a global
     top-k winner is a top-k winner within its own tile.
 
-    approx=True swaps the per-tile selection for lax.approx_max_k — the
+    approx truthy swaps the per-tile selection for lax.approx_max_k — the
     TPU's PartialReduce hardware operator (Chern et al., arXiv:2206.14286)
-    at recall_target=0.95 per tile — for atlas-scale runs where the exact
-    VPU sort dominates; the cross-tile merge stays exact."""
+    — for atlas-scale runs where the exact VPU sort dominates; the
+    cross-tile merge stays exact. `approx` may be a float in (0, 1]: the
+    per-tile recall target (True means the 0.95 default)."""
     M, d = Q.shape
     N = X.shape[0]
     k = n_neighbors + 1  # top-k includes the point itself
@@ -91,7 +92,8 @@ def _knn_impl(Q: jnp.ndarray, X: jnp.ndarray, n_neighbors: int,
             d2 = qsq[:, None] + st[None, :] - 2.0 * jnp.matmul(
                 Qc, Xt.T, precision=lax.Precision.HIGHEST)     # (chunk, T)
             if approx:
-                neg, idx = lax.approx_max_k(-d2, k, recall_target=0.95)
+                rt = 0.95 if approx is True else float(approx)
+                neg, idx = lax.approx_max_k(-d2, k, recall_target=rt)
             else:
                 neg, idx = lax.top_k(-d2, k)
             return neg, idx + t0
@@ -267,6 +269,7 @@ def compute_lisi(
     random_state: int = 0,
     mesh=None,
     knn: str = "exact",
+    knn_recall_target: float = 0.95,
 ):
     """Compute LISI for each label column (reference lisi.py:24-65).
 
@@ -286,12 +289,18 @@ def compute_lisi(
     bitwise identical to the single-device computation).
 
     knn: "exact" (default — same neighbor sets as the reference) or
-    "approx" — TPU hardware approximate top-k (lax.approx_max_k,
-    recall_target=0.95 per reference tile) for atlas-scale runs where the
-    exact selection sort dominates the runtime.
+    "approx" — TPU hardware approximate top-k (lax.approx_max_k) for
+    atlas-scale runs where the exact selection sort dominates the runtime.
+    knn_recall_target: per-reference-tile recall target of the approx
+    operator (default 0.95; higher = more accurate, slower). Ignored for
+    knn="exact".
     """
     if knn not in ("exact", "approx"):
         raise ValueError(f"knn must be 'exact' or 'approx', got {knn!r}")
+    knn_recall_target = float(knn_recall_target)
+    if not 0.0 < knn_recall_target <= 1.0:
+        raise ValueError(f"knn_recall_target must be in (0, 1], "
+                         f"got {knn_recall_target}")
     on_device = isinstance(X, jax.Array)
     if not on_device:
         X = np.asarray(X.values if hasattr(X, "values") else X)
@@ -317,7 +326,8 @@ def compute_lisi(
     # self point, and to exact-distance ties among duplicate rows).
     qid = jnp.asarray(query_idx if subset else np.arange(n_cells), jnp.int32)
     dist, idx = _knn_batched(Qd, Xd, int(perplexity * 3) - 1, mesh,
-                             approx=(knn == "approx"), qid=qid)
+                             approx=(knn_recall_target if knn == "approx"
+                                     else False), qid=qid)
     logU = jnp.asarray(np.log(perplexity), dist.dtype)
     tol = jnp.asarray(1e-5, dist.dtype)
 

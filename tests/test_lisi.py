@@ -132,3 +132,10 @@ def test_lisi_approx_close_to_exact():
     assert np.max(np.abs(exact - approx)) < 0.5
     with pytest.raises(ValueError, match="approx"):
         hm.compute_lisi(X, meta, ["b"], knn="fancy")
+    # recall-target knob: 1.0 must reproduce the exact values on the CPU
+    # fallback (exact sort), and out-of-range targets are rejected.
+    full = hm.compute_lisi(X, meta, ["b"], knn="approx",
+                           knn_recall_target=1.0)
+    assert np.mean(np.abs(exact - full)) < 0.05
+    with pytest.raises(ValueError, match="knn_recall_target"):
+        hm.compute_lisi(X, meta, ["b"], knn="approx", knn_recall_target=0.0)

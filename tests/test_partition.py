@@ -56,6 +56,25 @@ def test_iid_blocks_static_width_bound_and_skips(seed):
     assert skipped <= max(2, int(0.001 * N)), (skipped, N)
 
 
+def test_expected_skip_fraction_exact_and_small():
+    """The runtime-reported expected skip fraction (config.
+    expected_skip_fraction, an exact binomial tail) matches a large measured
+    iid_blocks draw and stays within the designed ~4-sigma bound."""
+    from harmonypy_tpu.config import expected_skip_fraction
+
+    assert expected_skip_fraction(1) == 0.0
+    for nb in (2, 7, 20, 40):
+        assert expected_skip_fraction(nb) < 5e-5, nb
+    # Measured vs exact on a 2.56M-cell draw (nb=20 -> ~2e-5 expected, so
+    # ~51 skips expected; Poisson-ish sd ~ sqrt(51)).
+    nb, N = 20, 2_560_000
+    blocks = np.asarray(iid_blocks(jax.random.PRNGKey(11), N, N, nb))
+    measured = np.sum(blocks == nb) / N
+    exact = expected_skip_fraction(nb)
+    assert abs(measured - exact) < 5 * np.sqrt(exact / N) + 1e-7, (
+        measured, exact)
+
+
 def test_iid_blocks_uniformity():
     """Block sizes are multinomial around N/nb (not stratified-exact)."""
     N, nb = 40_000, 20

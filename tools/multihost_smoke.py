@@ -83,8 +83,12 @@ def worker(pid: int, tmp: str):
     # chunk_size=128 puts N=4000 on the fused-XLA path (32 chunks >= 20
     # blocks) — the production path, whose fixed-frame reductions make the
     # result BITWISE identical across process topologies (ops/partition.py).
+    # defer_r=True matches the library's default storage strategy
+    # (api.run_harmony defers R on fused geometry); the stored-R variant is
+    # exercised separately below.
     cfg = EngineConfig(N=N, d=D, K=default_nclust(N), B=B, n_devices=8,
-                       use_fused_xla=True, chunk_size=128, max_iter_harmony=3)
+                       use_fused_xla=True, chunk_size=128, max_iter_harmony=3,
+                       defer_r=True)
     data, cfg, n, (Pr_b, phi_n) = load_sharded_data(pcs, meta, "donor", mesh,
                                                     cfg=cfg)
     assert n == N and cfg.n_devices == 8 and cfg.use_fused_xla
@@ -134,6 +138,22 @@ def worker(pid: int, tmp: str):
         print(f"worker0: N={n} iters={int(state.n_rounds)} "
               f"objective {obj[0]:.2f} -> {obj[-1]:.2f}")
 
+    # STORED-R fused path across processes (defer_r=False): same fixed-frame
+    # reductions, R materialized — must also be bitwise across topologies.
+    cfg_st = EngineConfig(N=N, d=D, K=default_nclust(N), B=B, n_devices=8,
+                          use_fused_xla=True, chunk_size=128,
+                          max_iter_harmony=2)
+    data_st, cfg_st, _, _ = load_sharded_data(pcs, meta, "donor", mesh,
+                                              cfg=cfg_st)
+    st_st = get_engine(cfg_st, mesh).fit_fn(data_st, params,
+                                            jax.random.PRNGKey(0))
+    Zst = unpad_cells(
+        np.asarray(multihost_utils.process_allgather(st_st.Z_corr,
+                                                     tiled=True)),
+        cfg_st).T
+    if pid == 0:
+        np.save(os.path.join(tmp, "multi_stored.npy"), Zst)
+
     # PER-CELL path across processes (default chunk geometry at N=4000):
     # its per-block psums reduce shard partials, so cross-process Gloo
     # reduction order makes this reduction-order tight, not bitwise.
@@ -169,8 +189,14 @@ def single(tmp: str):
     X = load_matrix_tsv(os.path.join(tmp, "pcs.tsv.gz"))
     ho = hm.run_harmony(X, meta, ["donor"], mesh=make_mesh(n_devices=8),
                         verbose=False, max_iter_harmony=3, chunk_size=128)
-    assert ho.cfg.use_fused_xla
+    assert ho.cfg.use_fused_xla and ho.cfg.defer_r  # the library default
     np.save(os.path.join(tmp, "single.npy"), ho.Z_corr)
+
+    hs = hm.run_harmony(X, meta, ["donor"], mesh=make_mesh(n_devices=8),
+                        verbose=False, max_iter_harmony=2, chunk_size=128,
+                        defer_r=False)
+    assert hs.cfg.use_fused_xla and not hs.cfg.defer_r
+    np.save(os.path.join(tmp, "single_stored.npy"), hs.Z_corr)
 
     hp = hm.run_harmony(X, meta, ["donor"], mesh=make_mesh(n_devices=8),
                         verbose=False, max_iter_harmony=2)
@@ -210,7 +236,12 @@ def _check(tmp: str):
     # exact zeros — order-free), so the 2-process Gloo topology must produce
     # the EXACT bits of the single-process run.
     np.testing.assert_array_equal(multi, single_)
-    print("multi-host vs single-process (fused): bitwise equal")
+    print("multi-host vs single-process (fused, deferred-R): bitwise equal")
+
+    mst = np.load(os.path.join(tmp, "multi_stored.npy"))
+    sst = np.load(os.path.join(tmp, "single_stored.npy"))
+    np.testing.assert_array_equal(mst, sst)
+    print("multi-host vs single-process (fused, stored-R): bitwise equal")
 
     # Per-cell path: same global partition, but its per-block O/E psums
     # reduce shard partials, so cross-process Gloo ordering makes this
