@@ -249,6 +249,17 @@ class Harmony:
                 f"(>= {int(np.ceil(1 / block_size))} chunks of "
                 f"{chunk_size} cells; N={self.N} has too few). Use a "
                 f"smaller chunk_size.")
+        # The deferred .R / ridge replay reproduces the LAST COMPLETED
+        # k-means round; a zero-iteration fit never runs one, so its replay
+        # bundle would hold init placeholders and .R would be garbage.
+        zero_iters = min(int(max_iter_harmony), int(max_iter_kmeans)) < 1
+        if defer_r and zero_iters:
+            raise ValueError(
+                "defer_r requires max_iter_harmony >= 1 and "
+                "max_iter_kmeans >= 1: the deferred .R/ridge replay "
+                "reproduces the last completed k-means round, which a "
+                "zero-iteration fit never runs. Pass defer_r=False to keep "
+                "the initial assignments materialized.")
         if defer_r is None:
             # Deferred-R is the DEFAULT on the fused path: measured FASTER
             # than both stored variants at 858k on one chip (0.109 s vs
@@ -257,7 +268,7 @@ class Harmony:
             # device memory is K-independent at N scale. An explicit
             # use_pallas=True keeps the stored-R kernel path
             # (bitwise-interchangeable rounds; tools/bitwise_xpath.py).
-            defer_r = fused_ok and use_pallas is not True
+            defer_r = fused_ok and use_pallas is not True and not zero_iters
         if use_pallas is None:
             # The Pallas kernel is opt-in: with deferred-R as the default,
             # the measured A/B between kernel rounds and fused-XLA rounds is
@@ -270,27 +281,24 @@ class Harmony:
         # to the per-cell path (ops/update_r.py).
         use_fused_xla = (not use_pallas) and fused_ok
 
-        def build_cfg(defer: bool) -> EngineConfig:
-            return EngineConfig(
-                N=self.N, d=self.d, K=K, B=self.B,
-                n_devices=n_devices,
-                use_pallas=bool(use_pallas),
-                use_fused_xla=bool(use_fused_xla),
-                defer_r=defer,
-                chunk_size=int(chunk_size),
-                max_iter_harmony=max_iter_harmony,
-                max_iter_kmeans=max_iter_kmeans,
-                epsilon_kmeans=float(epsilon_kmeans),
-                epsilon_harmony=float(epsilon_harmony),
-                window_size=self.window_size,
-                block_size=float(block_size),
-                alpha=float(alpha),
-                lambda_estimation=bool(lambda_estimation),
-                matmul_precision=str(matmul_precision),
-                r_dtype="bfloat16" if low_memory else "float32",
-            )
-
-        cfg = build_cfg(bool(defer_r))
+        cfg = EngineConfig(
+            N=self.N, d=self.d, K=K, B=self.B,
+            n_devices=n_devices,
+            use_pallas=bool(use_pallas),
+            use_fused_xla=bool(use_fused_xla),
+            defer_r=bool(defer_r),
+            chunk_size=int(chunk_size),
+            max_iter_harmony=max_iter_harmony,
+            max_iter_kmeans=max_iter_kmeans,
+            epsilon_kmeans=float(epsilon_kmeans),
+            epsilon_harmony=float(epsilon_harmony),
+            window_size=self.window_size,
+            block_size=float(block_size),
+            alpha=float(alpha),
+            lambda_estimation=bool(lambda_estimation),
+            matmul_precision=str(matmul_precision),
+            r_dtype="bfloat16" if low_memory else "float32",
+        )
         if not cfg.fused_estep:
             from .config import cell_tile_geom, expected_skip_fraction
             G, cap = cell_tile_geom(cfg.n_blocks)

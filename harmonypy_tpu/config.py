@@ -221,6 +221,14 @@ class EngineConfig:
         return 1 + self.max_iter_harmony
 
     @property
+    def rounds_hist_len(self) -> int:
+        # >= 1 even for max_iter_harmony=0 (reference harmonize() with
+        # iter_harmony=0 is a legal no-op fit): the while_loop body still
+        # TRACES an append into this buffer, and a zero-length axis is a
+        # trace-time IndexError even though the append never executes.
+        return max(1, self.max_iter_harmony)
+
+    @property
     def kmeanspp_trials(self) -> int:
         """Greedy k-means++ candidate count (sklearn: 2 + floor(log(K)))."""
         return 2 + int(math.log(self.K)) if self.K > 1 else 1

@@ -191,7 +191,12 @@ def _knn_sharded(Q, X, n_neighbors: int, mesh, chunk: int = 1024,
     Mp = -(-M // D) * D
     Qp = jnp.zeros((Mp, Q.shape[1]), Q.dtype).at[:M].set(Q)
     if qid is None:
-        qid = jnp.arange(M, dtype=jnp.int32)
+        # arange(M) is only the true self-id when Q IS the first M rows of
+        # X; for sampled queries it would mislabel every self point and the
+        # id-based drop would keep it as the nearest neighbor. Callers with
+        # subset queries must pass real row ids.
+        raise ValueError("_knn_sharded requires qid (global row ids of the "
+                         "queries in X); compute_lisi always supplies it")
     qp = jnp.full((Mp,), -1, jnp.int32).at[:M].set(qid.astype(jnp.int32))
     dists, idxs = _knn_sharded_fn(mesh, n_neighbors, chunk, approx)(Qp, X, qp)
     return dists[:M], idxs[:M]

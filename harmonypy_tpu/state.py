@@ -136,7 +136,7 @@ def empty_histories(cfg: EngineConfig) -> dict:
         n_kmeans=jnp.zeros((), jnp.int32),
         obj_harmony=jnp.zeros((cfg.harmony_hist_len,), f32),
         n_harmony=jnp.zeros((), jnp.int32),
-        kmeans_rounds=jnp.zeros((cfg.max_iter_harmony,), jnp.int32),
+        kmeans_rounds=jnp.zeros((cfg.rounds_hist_len,), jnp.int32),
         n_rounds=jnp.zeros((), jnp.int32),
         converged=jnp.zeros((), jnp.bool_),
     )

@@ -80,7 +80,7 @@ def expected_leaf_shapes(cfg) -> dict:
         "n_kmeans": (),
         "obj_harmony": (cfg.harmony_hist_len,),
         "n_harmony": (),
-        "kmeans_rounds": (cfg.max_iter_harmony,),
+        "kmeans_rounds": (cfg.rounds_hist_len,),
         "n_rounds": (),
         "converged": (),
         "cache": ((cache_rows, cfg.K, cfg.B + 1) if cfg.fused_estep

@@ -72,6 +72,9 @@ def memory_envelope(cfg: EngineConfig) -> dict:
 
     env = {
         "R": K * Nl * r_bytes,
+        # The fit/iter while_loop carries R, which XLA double-buffers.
+        # This is the recorded cause of the K=200 x 5M bf16 stored-R OOM.
+        "R loop double-buffer": K * Nl * r_bytes,
         "Z (orig+corr+cos)": 3 * d * Nl * f,
         "Phi+mask": (B + 1) * Nl * f,
     }
@@ -80,6 +83,14 @@ def memory_envelope(cfg: EngineConfig) -> dict:
         # Per-chunk stats cache + the fused-XLA path's per-chunk centroid /
         # objective buffers (ops/update_r_fused_xla.py scan carries).
         env["chunk caches"] = nc1 * K * (2 * (B + 1) + d + 2) * f
+        # Stored-path init materializes K x N temporaries (engine.py
+        # _init_impl): dist_mat, the fp32 pre-cast R, and the physically
+        # retiled (K, nc, CH) reshapes for the objective partials — not all
+        # live at once after XLA fusion. Modeled as 2 fp32 K x N arrays at
+        # peak, calibrated between the two recorded data points: K=100 x 5M
+        # x d=50 fp32 stored RAN on a 16 GB chip (models 12.9 GB); K=200 x
+        # 5M x d=29 bf16 stored OOMed it (models 16.1 GB).
+        env["init dist/R temporaries"] = 2 * K * Nl * f
         if not cfg.use_pallas:
             # Per-block working slabs: (J_shard, {d,B,K}, CH) gathers plus
             # the dist/scale/r intermediates at (J_shard, K, CH).
@@ -89,7 +100,8 @@ def memory_envelope(cfg: EngineConfig) -> dict:
                 4 * K + d + 2 * B + 1 + d) * f
     else:
         # Per-cell path: dist_mat + scale_dist materialize at (K, N_local),
-        # and the block scatter pays one extra full copy of R.
+        # and the block scatter pays one extra full copy of R. Init's
+        # dist_mat + fp32 R peak is within the same bound.
         env["dist+scale"] = 2 * K * Nl * f
         env["R copy (block scatter)"] = K * Nl * r_bytes
     env["kmeans init"] = _kmeans_init_bytes(cfg)
@@ -163,7 +175,6 @@ def check_capacity(cfg: EngineConfig, mesh) -> None:
             remedies.append(
                 f"low_memory=True shrinks the model to {_fmt(lm_total)}"
                 f"/device (still over budget)")
-    import dataclasses
     for n in (2, 4, 8, 16, 32, 64, 128, 256):
         if n <= cfg.n_devices:
             continue

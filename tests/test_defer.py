@@ -126,6 +126,23 @@ def test_defer_capacity_error_names_defer(monkeypatch):
         check_capacity(cfg, make_mesh(n_devices=1))
 
 
+def test_defer_zero_iteration_configs():
+    """The deferred .R/ridge replay reproduces the LAST COMPLETED k-means
+    round; a zero-iteration fit never runs one. Explicit defer_r=True must
+    refuse loudly, and the defer_r=None default must fall back to the
+    stored path (whose .R is the materialized initial assignment)."""
+    X, meta = _problem(n=4_000, d=4)
+    with pytest.raises(ValueError, match="defer_r"):
+        _run(X, meta, 1, defer_r=True, max_iter_harmony=0)
+    with pytest.raises(ValueError, match="defer_r"):
+        _run(X, meta, 1, defer_r=True, max_iter_harmony=2, max_iter_kmeans=0)
+    ho = _run(X, meta, 1, max_iter_harmony=0)       # default: auto-fallback
+    assert not ho.cfg.defer_r
+    R = ho.R                                       # (N, K)
+    assert R.shape[0] == 4_000
+    np.testing.assert_allclose(R.sum(axis=1), 1.0, atol=1e-4)
+
+
 def test_pallas_defer_backend_matches_xla_defer():
     """Deferred-R rounds can run through the Pallas kernel's no-R variant
     (single chip). On TPU hardware the two backends are bitwise identical
