@@ -99,3 +99,48 @@ def test_correction_quality_matches_reference(reference_harmonypy, problem):
     cors = [np.corrcoef(ref.Z_corr[:, i], ours.Z_corr[:, i])[0, 1]
             for i in range(X.shape[1])]
     assert min(cors) > 0.9, cors
+
+
+@pytest.mark.parametrize("n_cells", [800, 4_000, 20_000])
+def test_no_degenerate_overmixing(n_cells):
+    """TWO-SIDED degeneracy gate, reference-free (round-2 weak #8): our
+    optimizer is allowed to descend the shared objective deeper than the
+    reference (better iLISI), but a regression that over-descends into
+    degenerate mixing — blending distinct cell types — must fail loudly at
+    any N, not just where the torch cross-check runs. Checks, per N:
+
+      1. batch mixing improves (iLISI up vs uncorrected),
+      2. cell-type separation is preserved (cLISI stays at its uncorrected
+         level — blending types would raise it),
+      3. the geometric group structure survives: between-group centroid
+         spread / within-group spread keeps most of its uncorrected value
+         (a collapse-everything-to-one-blob degeneracy passes no 3).
+    """
+    X, batches, groups = synthetic_batched(
+        n_cells=n_cells, d=12, batch_shift=2.5, seed=3)
+    meta = pd.DataFrame({"donor": [f"d{b}" for b in batches],
+                         "group": groups})
+    ours = hm.run_harmony(X, meta, ["donor"], mesh=make_mesh(n_devices=8),
+                          max_iter_harmony=5, verbose=False)
+    Z = ours.Z_corr
+
+    ilisi_before = hm.compute_lisi(X, meta, ["donor"]).mean()
+    ilisi_after = hm.compute_lisi(Z, meta, ["donor"]).mean()
+    assert ilisi_after > ilisi_before + 0.15, (ilisi_before, ilisi_after)
+
+    clisi_before = hm.compute_lisi(X, meta, ["group"]).mean()
+    clisi_after = hm.compute_lisi(Z, meta, ["group"]).mean()
+    assert clisi_after < clisi_before + 0.02, (clisi_before, clisi_after)
+
+    def separation(E):
+        cent = np.stack([E[groups == g].mean(axis=0)
+                         for g in np.unique(groups)])
+        between = np.linalg.norm(cent[:, None] - cent[None, :],
+                                 axis=-1).mean()
+        within = np.mean([np.linalg.norm(E[groups == g]
+                                         - cent[i], axis=1).mean()
+                          for i, g in enumerate(np.unique(groups))])
+        return between / within
+
+    assert separation(Z) > 0.8 * separation(X), \
+        (separation(X), separation(Z))
