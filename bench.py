@@ -247,7 +247,9 @@ def _profile_phases(cfg, mesh, data, params, elapsed, iters, total_rounds):
     model explains."""
     from harmonypy_tpu.utils.profiling import profile_fit
 
-    res = profile_fit(cfg, mesh, data, params)
+    res = profile_fit(
+        cfg, mesh, data, params,
+        split_init=os.environ.get("BENCH_SPLIT_INIT", "") == "1")
     if "phase_ridge_s" in res:
         accounted = (res["phase_init_s"]
                      + total_rounds * res["phase_kmeans_round_s"]

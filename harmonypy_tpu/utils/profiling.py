@@ -76,11 +76,18 @@ def estep_traffic_model_gb(cfg) -> float:
 
 def profile_fit(cfg, mesh, data, params, key=None, reps: int = 16,
                 budget_s: float | None = None,
-                hbm_peak_gbps: float | None = None) -> dict:
+                hbm_peak_gbps: float | None = None,
+                split_init: bool = False) -> dict:
     """Per-phase device time through the REAL engine code paths:
 
       dispatch_s            host<->runtime round-trip floor (min of 5 noops)
       phase_init_s          init_fn (k-means++/|| seeding + initial stats)
+      phase_init_seeding_s  (split_init=True only) the k-means++/|| seeding
+                            + Lloyd portion of init alone; init minus this
+                            is the initial-statistics cost. Opt-in: the
+                            probe is one extra compiled program, which
+                            remote-tunnel backends charge a server-side
+                            compile for (docs/warmup.md)
       phase_kmeans_round_s  one fuzzy-k-means round, by differencing an
                             iteration pinned to 1+reps rounds against one
                             pinned to 1 round (dispatch cancels; epsilon=0
@@ -183,6 +190,32 @@ def profile_fit(cfg, mesh, data, params, key=None, reps: int = 16,
             # A differenced round implying more than peak HBM bandwidth is
             # dispatch jitter, not physics — flag instead of reporting it.
             res["estep_round_noisy"] = True
+
+        if split_init:
+            # Seeding-only program mirroring _init_impl's front half
+            # (engine.py:204-213): normalize + k-means++/|| + Lloyd.
+            check_budget()
+            from jax.sharding import PartitionSpec as P
+
+            from ..engine import get_engine
+            from ..ops.kmeans import kmeans_init
+            from ..ops.normalize import l2_normalize_cols
+            from ..parallel.mesh import AXIS
+
+            eng = get_engine(cfg, mesh)
+
+            def seed_only(data_v, key_v):
+                with jax.default_matmul_precision(cfg.matmul_precision):
+                    Z_cos = l2_normalize_cols(data_v.Z_orig)
+                    return kmeans_init(jax.random.split(key_v)[1], Z_cos,
+                                       cfg, AXIS)
+
+            seed_fn = jax.jit(jax.shard_map(
+                seed_only, mesh=mesh, in_specs=(eng.data_specs, P()),
+                out_specs=P(), check_vma=False))
+            t_seed = max(timed(seed_fn, data, key) - d0, 0.0)
+            res["phase_init_seeding_s"] = round(t_seed, 4)
+            res["phase_init_stats_s"] = round(max(t_init - t_seed, 0.0), 4)
 
         # Ridge, amortized in-graph: fit = init + reps*(round + ridge).
         check_budget()
