@@ -67,9 +67,38 @@ def _gen_host(cfg):
     return Z, Phi, mask
 
 
+def _backend_reachable(timeout_s: float) -> str | None:
+    """Probe backend init in a SUBPROCESS with a hard timeout. The box
+    reaches its TPU through a tunnel that has measured multi-hour outages;
+    jax.devices() then blocks indefinitely with no exception to catch, so
+    an in-process guard is impossible. Returns an error string or None."""
+    import subprocess
+    code = ("import jax, jax.numpy as jnp\n"
+            "print(float(jnp.ones(()).sum()), jax.devices()[0].platform)\n")
+    try:
+        p = subprocess.run([sys.executable, "-c", code], timeout=timeout_s,
+                           capture_output=True, text=True)
+    except subprocess.TimeoutExpired:
+        return f"backend init did not complete within {timeout_s:.0f}s"
+    if p.returncode != 0:
+        return f"backend init failed: {p.stderr.strip()[-300:]}"
+    return None
+
+
 def main():
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                           os.path.join(os.path.dirname(__file__), ".jax_cache"))
+    probe_s = float(os.environ.get("BENCH_BACKEND_PROBE_S", 300))
+    if probe_s > 0:
+        err = _backend_reachable(probe_s)
+        if err is not None:
+            # A parseable record beats a hang: the driver capturing this
+            # output gets an explicit infrastructure failure, not a stall.
+            print(json.dumps({
+                "metric": "harmony_858k_cells_wall_clock", "value": None,
+                "unit": "s", "vs_baseline": None, "error": err}), flush=True)
+            print(f"# backend unreachable: {err}", file=sys.stderr)
+            return
     import jax
     import jax.numpy as jnp
     from harmonypy_tpu.config import EngineConfig

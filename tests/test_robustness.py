@@ -68,6 +68,21 @@ def test_run_harmony_capacity_error_before_compile(monkeypatch):
                        verbose=False)
 
 
+def test_skip_capacity_check_escape_hatch(monkeypatch):
+    """The error message names HARMONYPY_SKIP_CAPACITY_CHECK=1; setting it
+    must actually bypass the preflight (the model is deliberately a slight
+    over-estimate, so a user near the boundary needs the override)."""
+    monkeypatch.setenv("HARMONYPY_DEVICE_MEM_BYTES", str(1024 ** 2))
+    X, meta = _problem(n=2000)
+    with pytest.raises(CapacityError):
+        hm.run_harmony(X, meta, ["donor"], mesh=make_mesh(n_devices=1),
+                       verbose=False)
+    monkeypatch.setenv("HARMONYPY_SKIP_CAPACITY_CHECK", "1")
+    ho = hm.run_harmony(X, meta, ["donor"], mesh=make_mesh(n_devices=1),
+                        max_iter_harmony=1, verbose=False)
+    assert np.all(np.isfinite(ho.Z_corr))
+
+
 # ---- resume validation --------------------------------------------------
 
 def test_resume_mismatched_config_fails_clearly(tmp_path):
