@@ -16,7 +16,8 @@ import pandas as pd
 
 import jax
 
-from .config import EngineConfig, default_nclust, fused_geometry_ok
+from .config import (EngineConfig, auto_chunk_size, default_nclust,
+                     fused_geometry_ok)
 from .engine import get_engine
 from .state import HarmonyParams, HarmonyState
 from .parallel.mesh import default_mesh, make_mesh
@@ -52,7 +53,7 @@ def run_harmony(
     checkpoint_dir=None,
     resume_from=None,
     use_pallas=None,
-    chunk_size=2048,
+    chunk_size=None,
     matmul_precision="default",
     low_memory=False,
     defer_r=None,
@@ -80,6 +81,10 @@ def run_harmony(
                       the pre-cast values; the per-cell fallback instead
                       keeps O/E exactly consistent with the stored (rounded)
                       values. Enables e.g. K=200 x 5M cells on one 16 GB chip.
+      chunk_size      cells per chunk of the fused E-step (None = auto:
+                      2048, shrunk as a function of (N, block_size) only —
+                      never the mesh — so mid-size problems keep the fused
+                      path; config.auto_chunk_size).
       defer_r         deferred-R mode — THE DEFAULT whenever the fused
                       chunk geometry applies: the K x N soft assignments
                       are NEVER materialized on device; ridge, the next
@@ -218,7 +223,7 @@ class Harmony:
                  lambda_estimation, max_iter_harmony, max_iter_kmeans,
                  epsilon_kmeans, epsilon_harmony, K, block_size, verbose,
                  random_state, device=None, *, mesh=None, checkpoint_dir=None,
-                 resume_from=None, use_pallas=None, chunk_size=2048,
+                 resume_from=None, use_pallas=None, chunk_size=None,
                  matmul_precision="default", low_memory=False, defer_r=None):
         Z = np.asarray(Z, dtype=np.float32)
         Phi = np.asarray(Phi, dtype=np.float32)
@@ -241,6 +246,11 @@ class Harmony:
         self.verbose = verbose
 
         n_devices = int(mesh.devices.size)
+        # Auto chunk size (a function of N and block_size only — mesh
+        # independence is part of the bitwise invariance contract): keeps
+        # mid-size problems on the fused E-step instead of silently falling
+        # to the per-cell path when N has too few default-size chunks.
+        chunk_size = auto_chunk_size(self.N, float(block_size), chunk_size)
         fused_ok = fused_geometry_ok(self.N, n_devices, float(block_size),
                                      int(chunk_size))
         if defer_r and not fused_ok:

@@ -249,6 +249,35 @@ class EngineConfig:
                                      self.chunk_size), self
 
 
+def auto_chunk_size(N: int, block_size: float = 0.05,
+                    requested: int | None = None) -> int:
+    """Default chunk size for a problem. A function of (N, block_size) ONLY
+    — never of the mesh — so the resulting block partition, and therefore
+    the fit, stays bitwise device-count-invariant (ops/partition.py).
+
+    2048 whenever the fused geometry allows it. Below that (N < n_blocks
+    chunks of 2048, i.e. < ~41k cells at the default 5% blocks), shrink to
+    the largest power of two that still yields one real chunk per block so
+    mid-size problems keep the fused E-step (and its deferred-R default)
+    instead of falling to the several-times-slower per-cell path. Under
+    _PER_CELL_MAX_N the per-cell path measures faster than the fused one
+    (small-chunk grids waste the MXU) — keep 2048 there, which selects it.
+    """
+    if requested is not None:
+        return int(requested)
+    nb = int(math.ceil(1.0 / block_size))
+    if cdiv(N, 2048) >= nb or N < _PER_CELL_MAX_N:
+        return 2048
+    c = 1 << int(math.floor(math.log2(max(N // nb, 1))))
+    return max(256, min(2048, c))
+
+
+# Below this N the per-cell E-step measures faster than a small-chunk fused
+# grid (memory: ~20k crossover on the tunnel chip); auto_chunk_size keeps
+# the per-cell path there.
+_PER_CELL_MAX_N = 20_480
+
+
 def fused_geometry_ok(N: int, n_devices: int = 1, block_size: float = 0.05,
                       chunk_size: int = 2048) -> bool:
     """Whether chunk-granular blocks are a sound approximation for a problem:

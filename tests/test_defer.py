@@ -166,3 +166,23 @@ def test_pallas_defer_backend_matches_xla_defer():
                                    atol=2e-4)
         np.testing.assert_allclose(hx.R, hp.R, rtol=1e-3, atol=2e-5)
         assert hx.kmeans_rounds == hp.kmeans_rounds
+
+
+def test_auto_chunk_size_mid_n():
+    """chunk_size=None auto-selects a smaller chunk at mid N (20.5k..41k)
+    so the fused E-step (and the deferred-R default) applies instead of the
+    several-times-slower per-cell path — and the choice is a function of
+    (N, block_size) only, so the fit stays bitwise device-count-invariant."""
+    from harmonypy_tpu.config import auto_chunk_size
+    assert auto_chunk_size(858_000) == 2048
+    assert auto_chunk_size(10_000) == 2048       # per-cell stays per-cell
+    assert auto_chunk_size(30_000) == 1024
+    assert auto_chunk_size(30_000, requested=512) == 512
+    X, meta = _problem(n=30_000, d=6)
+    runs = {nd: hm.run_harmony(X, meta, ["donor"],
+                               mesh=make_mesh(n_devices=nd),
+                               max_iter_harmony=2, verbose=False)
+            for nd in (1, 8)}
+    assert runs[1].cfg.fused_estep and runs[1].cfg.defer_r
+    assert runs[1].cfg.chunk_size == 1024
+    np.testing.assert_array_equal(runs[1].Z_corr, runs[8].Z_corr)
