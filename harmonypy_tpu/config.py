@@ -265,11 +265,17 @@ def auto_chunk_size(N: int, block_size: float = 0.05,
     """
     if requested is not None:
         return int(requested)
-    nb = int(math.ceil(1.0 / block_size))
-    if cdiv(N, 2048) >= nb or N < _PER_CELL_MAX_N:
+    if fused_geometry_ok(N, 1, block_size, 2048) or N < _PER_CELL_MAX_N:
         return 2048
-    c = 1 << int(math.floor(math.log2(max(N // nb, 1))))
-    return max(256, min(2048, c))
+    nb = int(math.ceil(1.0 / block_size))
+    # Largest power of two with one real chunk per block (c <= N/nb implies
+    # cdiv(N, c) >= nb). Chunks must stay lane-aligned (multiples of 128);
+    # below that there are too few cells per block for a sound fused
+    # geometry — return the default, which selects the per-cell path.
+    c = min(2048, 1 << int(math.floor(math.log2(max(N // nb, 1)))))
+    if c < 128 or not fused_geometry_ok(N, 1, block_size, c):
+        return 2048
+    return c
 
 
 # Below this N the per-cell E-step measures faster than a small-chunk fused

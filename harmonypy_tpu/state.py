@@ -70,7 +70,7 @@ class HarmonyState(NamedTuple):
     obj_harmony: jax.Array  # (harmony_hist_len,)
     n_harmony: jax.Array    # () int32
 
-    kmeans_rounds: jax.Array  # (max_iter_harmony,) int32
+    kmeans_rounds: jax.Array  # (rounds_hist_len,) int32
     n_rounds: jax.Array       # () int32
 
     converged: jax.Array      # () bool — harmony-level convergence flag

@@ -197,7 +197,6 @@ def profile_fit(cfg, mesh, data, params, key=None, reps: int = 16,
             check_budget()
             from jax.sharding import PartitionSpec as P
 
-            from ..engine import get_engine
             from ..ops.kmeans import kmeans_init
             from ..ops.normalize import l2_normalize_cols
             from ..parallel.mesh import AXIS

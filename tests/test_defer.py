@@ -132,12 +132,20 @@ def test_defer_zero_iteration_configs():
     refuse loudly, and the defer_r=None default must fall back to the
     stored path (whose .R is the materialized initial assignment)."""
     X, meta = _problem(n=4_000, d=4)
-    with pytest.raises(ValueError, match="defer_r"):
-        _run(X, meta, 1, defer_r=True, max_iter_harmony=0)
-    with pytest.raises(ValueError, match="defer_r"):
-        _run(X, meta, 1, defer_r=True, max_iter_harmony=2, max_iter_kmeans=0)
-    ho = _run(X, meta, 1, max_iter_harmony=0)       # default: auto-fallback
-    assert not ho.cfg.defer_r
+    # chunk_size=128 -> 32 chunks >= 20 blocks: the fused geometry is VALID,
+    # so the errors below must come from the zero-iteration gate itself (at
+    # _run's default chunk 1024 the geometry error would fire first and
+    # this test would pass with the gate deleted).
+    kw = dict(chunk_size=128)
+    ok = _run(X, meta, 1, defer_r=True, max_iter_harmony=1, **kw)
+    assert ok.cfg.defer_r                      # geometry really is fused-ok
+    with pytest.raises(ValueError, match="max_iter_harmony >= 1"):
+        _run(X, meta, 1, defer_r=True, max_iter_harmony=0, **kw)
+    with pytest.raises(ValueError, match="max_iter_harmony >= 1"):
+        _run(X, meta, 1, defer_r=True, max_iter_harmony=2, max_iter_kmeans=0,
+             **kw)
+    ho = _run(X, meta, 1, max_iter_harmony=0, **kw)  # default: auto-fallback
+    assert not ho.cfg.defer_r and ho.cfg.fused_estep
     R = ho.R                                       # (N, K)
     assert R.shape[0] == 4_000
     np.testing.assert_allclose(R.sum(axis=1), 1.0, atol=1e-4)
