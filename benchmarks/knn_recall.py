@@ -27,11 +27,15 @@ import numpy as np
 
 
 def measure(n: int = 131_072, n_queries: int = 16_384, d: int = 29,
-            perplexity: float = 30, seed: int = 0) -> dict:
+            perplexity: float = 30, seed: int = 0,
+            pruned: bool = True) -> dict:
+    import time
+
     import jax.numpy as jnp
     import pandas as pd
 
-    from harmonypy_tpu.lisi import _knn_batched, _simpson_label
+    from harmonypy_tpu.lisi import _drop_self_by_id, _knn_batched, \
+        _simpson_label
 
     rng = np.random.default_rng(seed)
     centers = rng.normal(size=(24, d)).astype(np.float32) * 5.0
@@ -63,9 +67,36 @@ def measure(n: int = 131_072, n_queries: int = 16_384, d: int = 29,
         d_ap, jnp.asarray(i_ap), codes, len(labels.categories), logU, tol))
     mad = float(np.mean(np.abs(lisi_ex - lisi_ap)))
 
-    return {"approx_knn_recall": round(float(recall), 4),
-            "approx_knn_lisi_mad": float(f"{mad:.3g}"),
-            "approx_knn_n": n, "approx_knn_queries": n_queries}
+    res = {"approx_knn_recall": round(float(recall), 4),
+           "approx_knn_lisi_mad": float(f"{mad:.3g}"),
+           "approx_knn_n": n, "approx_knn_queries": n_queries}
+
+    if pruned:
+        # Sub-quadratic EXACT path (ops/knn_pruned.py) certified against
+        # the exact slice just computed: distances must agree to fp32
+        # rounding (the certificate + brute fallback guarantee exactness;
+        # this measures that on the real backend, plus the timing that
+        # motivates the path — full-N exact instead of O(N^2)).
+        from harmonypy_tpu.ops.knn_pruned import (build_index,
+                                                  default_n_clusters,
+                                                  pruned_knn)
+        t0 = time.time()
+        index = build_index(Xd, default_n_clusters(n, k + 1))
+        pres = pruned_knn(Xd, k, index=index)
+        if pres is None:  # probe bailed (should not happen on this data)
+            res["pruned_knn_s"] = -1.0
+            return res
+        cert = np.asarray(pres[2])
+        res["pruned_knn_s"] = round(time.time() - t0, 2)
+        res["pruned_cert_rate"] = round(float(np.mean(cert)), 4)
+        pd_, _ = _drop_self_by_id(pres[0][:n_queries], pres[1][:n_queries],
+                                  qid)
+        # uncertified slice rows differ until the brute fallback patches
+        # them (lisi._knn_pruned does); compare certified rows only here
+        ok = cert[:n_queries]
+        res["pruned_vs_exact_dist_max"] = float(
+            f"{np.max(np.abs(np.asarray(pd_)[ok] - np.asarray(d_ex)[ok])):.3g}")
+    return res
 
 
 def main():

@@ -61,10 +61,14 @@ def _add_lisi(sub):
                         "(exact values; neighbors come from all cells) — "
                         "use for atlas-scale inputs where all-pairs kNN is "
                         "quadratic")
-    p.add_argument("--knn", choices=["exact", "approx"], default="exact",
-                   help="neighbor search: exact (reference semantics) or "
+    p.add_argument("--knn", choices=["exact", "brute", "pruned", "approx"],
+                   default="exact",
+                   help="neighbor search: exact (reference semantics; "
+                        "auto-picks brute force or the sub-quadratic "
+                        "cluster-pruned search above 100k cells), brute/"
+                        "pruned to force one exact algorithm, or approx — "
                         "the TPU's hardware approximate top-k "
-                        "(recall ~0.95; ~50x faster at atlas scale)")
+                        "(recall ~0.95)")
     p.add_argument("--knn-recall", type=float, default=0.95,
                    help="per-tile recall target for --knn approx "
                         "(0 < r <= 1; higher = more accurate, slower)")

@@ -27,6 +27,11 @@ from typing import Iterable
 
 _KNN_TILE = 131_072  # reference-set tile (memory cap ~ chunk x tile floats)
 
+# knn="exact" picks the pruned sub-quadratic search (ops/knn_pruned.py)
+# above this N when querying every cell on one device; below it the tiled
+# brute force is already fast and avoids the index build.
+_PRUNED_MIN_N = 100_000
+
 
 def _knn_impl(Q: jnp.ndarray, X: jnp.ndarray, n_neighbors: int,
               chunk: int = 1024, approx: bool = False, qid=None):
@@ -131,6 +136,64 @@ def _knn_impl(Q: jnp.ndarray, X: jnp.ndarray, n_neighbors: int,
 
 
 _knn = jax.jit(_knn_impl, static_argnums=(2, 3, 4))
+
+
+@jax.jit
+def _drop_self_by_id(dist, idx, qid):
+    """Standalone id-based self-neighbor drop for (M, k) results (same rule
+    as the in-chunk drop in _knn_impl: remove the entry whose index equals
+    the query's own row id, or the worst candidate if absent)."""
+    k = dist.shape[1]
+    match = idx == qid[:, None]
+    pos = jnp.where(jnp.any(match, axis=1), jnp.argmax(match, axis=1), k - 1)
+    keep = jnp.arange(k - 1, dtype=jnp.int32)[None, :]
+    keep = keep + (keep >= pos[:, None])
+    return (jnp.take_along_axis(dist, keep, axis=1),
+            jnp.take_along_axis(idx, keep, axis=1))
+
+
+def _knn_pruned(X, n_neighbors: int, qid, visit: int | None = None):
+    """Exact full-N kNN via sub-quadratic pruned search (ops/knn_pruned.py)
+    with a brute-force fallback for uncertified queries — exact for every
+    row by construction. Returns (dist, idx) after the self-drop, or None
+    when pruning cannot pay on this input: pathologically unbalanced
+    clustering (per-step distance slab over the memory cap), k exceeding
+    the candidate capacity, or a low certification rate on the probe batch
+    (genuinely high-dimensional data — where every exact method, the
+    reference's kd-tree included, degrades to linear scans). The caller
+    then uses the tiled brute force."""
+    import logging
+
+    from .ops.knn_pruned import (_DEFAULT_VISIT, build_index,
+                                 default_n_clusters, pruned_knn)
+
+    visit = _DEFAULT_VISIT if visit is None else visit
+    index = build_index(X, default_n_clusters(X.shape[0], n_neighbors + 1))
+    V = min(visit, index.starts.shape[0])
+    if (V * index.p_max * index.p_max * 4 > 600e6     # (P, V*P) slab cap
+            or n_neighbors + 1 > V * index.p_max):
+        return None
+    res = pruned_knn(X, n_neighbors, visit=visit, index=index)
+    if res is None:                                   # probe bail
+        return None
+    dist, idx, cert = res
+    dist, idx = _drop_self_by_id(dist, idx, qid)
+    fail = np.asarray(~np.asarray(cert)).nonzero()[0]
+    logging.getLogger("harmonypy_tpu").debug(
+        "pruned kNN: %d/%d queries certified exact (%d fallback)",
+        X.shape[0] - fail.size, X.shape[0], fail.size)
+    if fail.size:
+        # Brute-force the uncertified remainder; pad to a power-of-two
+        # bucket so repeated calls share executables.
+        B = max(256, 1 << int(fail.size - 1).bit_length())
+        sel = np.concatenate([fail, np.zeros(B - fail.size, fail.dtype)])
+        fqid = jnp.asarray(np.concatenate(
+            [fail, np.full(B - fail.size, -1)]), jnp.int32)
+        fb_d, fb_i = _knn_batched(X[sel], X, n_neighbors, None, qid=fqid)
+        at = jnp.asarray(fail, jnp.int32)
+        dist = dist.at[at].set(fb_d[:fail.size])
+        idx = idx.at[at].set(fb_i[:fail.size])
+    return dist, idx
 
 
 _KNN_BATCH = 65_536  # queries per dispatch (bounds single-program runtime)
@@ -293,15 +356,21 @@ def compute_lisi(
     cells axis (reference set replicated; no collectives, so values are
     bitwise identical to the single-device computation).
 
-    knn: "exact" (default — same neighbor sets as the reference) or
-    "approx" — TPU hardware approximate top-k (lax.approx_max_k) for
-    atlas-scale runs where the exact selection sort dominates the runtime.
+    knn: "exact" (default — same neighbor sets as the reference) picks the
+    fastest exact algorithm: the tiled brute force, or — when querying
+    every cell of a large (>= 100k) problem on one device — the
+    sub-quadratic cluster-pruned search (ops/knn_pruned.py), whose
+    per-query certificate + brute-force fallback makes it exact for every
+    row. "brute" / "pruned" force one algorithm (pruned still falls back
+    to brute when the cluster geometry is unsuitable). "approx" — TPU
+    hardware approximate top-k (lax.approx_max_k) for atlas-scale runs.
     knn_recall_target: per-reference-tile recall target of the approx
     operator (default 0.95; higher = more accurate, slower). Ignored for
-    knn="exact".
+    exact modes.
     """
-    if knn not in ("exact", "approx"):
-        raise ValueError(f"knn must be 'exact' or 'approx', got {knn!r}")
+    if knn not in ("exact", "brute", "pruned", "approx"):
+        raise ValueError(f"knn must be 'exact', 'brute', 'pruned' or "
+                         f"'approx', got {knn!r}")
     knn_recall_target = float(knn_recall_target)
     if not 0.0 < knn_recall_target <= 1.0:
         raise ValueError(f"knn_recall_target must be in (0, 1], "
@@ -330,9 +399,24 @@ def compute_lisi(
     # Self-neighbor removal is by row id (robust to approx top-k missing the
     # self point, and to exact-distance ties among duplicate rows).
     qid = jnp.asarray(query_idx if subset else np.arange(n_cells), jnp.int32)
-    dist, idx = _knn_batched(Qd, Xd, int(perplexity * 3) - 1, mesh,
-                             approx=(knn_recall_target if knn == "approx"
-                                     else False), qid=qid)
+    n_neighbors = int(perplexity * 3) - 1
+    multi = mesh is not None and int(mesh.devices.size) > 1
+    dist = None
+    if knn == "pruned" or (knn == "exact" and not subset and not multi
+                           and n_cells >= _PRUNED_MIN_N):
+        # Pruned search answers every row at once; mesh runs keep the
+        # query-sharded brute force (per-query exact either way).
+        res = _knn_pruned(Xd, n_neighbors,
+                          jnp.arange(n_cells, dtype=jnp.int32))
+        if res is not None:
+            dist, idx = res
+            if subset:  # forced pruned mode: keep only the sampled rows
+                dist, idx = dist[query_idx], idx[query_idx]
+    if dist is None:
+        dist, idx = _knn_batched(Qd, Xd, n_neighbors, mesh,
+                                 approx=(knn_recall_target
+                                         if knn == "approx" else False),
+                                 qid=qid)
     logU = jnp.asarray(np.log(perplexity), dist.dtype)
     tol = jnp.asarray(1e-5, dist.dtype)
 

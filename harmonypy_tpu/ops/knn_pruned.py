@@ -1,0 +1,279 @@
+"""Sub-quadratic EXACT kNN: cluster pruning with a per-query certificate.
+
+The reference gets exact kNN from a kd-tree (lisi.py:53, ~O(N log N) in low
+dimensions). Pointer-chasing trees do not map to the TPU; this module gets
+sub-quadratic *exact* search the MXU way:
+
+  1. BUILD: coarse k-means over the points (C ~ sqrt(N) centroids, a few
+     Lloyd rounds — quality only affects speed, never correctness), points
+     laid out contiguously by cluster, per-cluster radius r_c = max member
+     distance to the centroid.
+  2. QUERY: each cluster's members are queried together against the V
+     nearest clusters' members (one (P_max, V*P_max) distance GEMM per
+     cluster) and the top-k is taken over those candidates.
+  3. CERTIFICATE: by the triangle inequality every point x in an unvisited
+     cluster c satisfies d(q, x) >= d(q, mu_c) - r_c. If that lower bound
+     exceeds the candidate kth distance for every unvisited cluster, the
+     candidate top-k IS the global top-k and the query is *certified*
+     exact. The (typically tiny) uncertified remainder is re-answered by
+     the brute-force path (lisi._knn_batched), so the result is exact for
+     every query regardless of how well the clustering prunes.
+
+Total work is O(N * (V * P_max + C) * d) instead of O(N^2 * d) — and, more
+importantly on TPU, the per-query top-k sort shrinks from N entries to
+V * P_max. Like the kd-tree, pruning weakens as dimensionality grows (the
+certificate then routes more queries to the fallback — slower, never
+wrong).
+
+The per-cluster scan steps are independent, so values are invariant to how
+the scan is batched across dispatches.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+# Certificate slack: distances enter via two different fp32 GEMMs
+# (query x candidate vs query x centroid), so a borderline bound within a
+# few ulps could mis-certify. The margin is conservative: a falsely
+# UNcertified query only costs a fallback recompute.
+_CERT_TOL = 1e-4
+
+_LLOYD_ITERS = 12       # tighter cells -> smaller radii -> more certificates
+_ASSIGN_TILE = 16_384   # rows per assignment tile (bounds the (tile, C) d2)
+_CLUSTER_BATCH = 128    # clusters per dispatch (bounds program runtime)
+_DEFAULT_VISIT = 32     # candidate clusters per query cluster
+_PROBE_MIN_CERT = 0.5   # below this probe certification rate, bail to brute
+
+
+class PrunedIndex(NamedTuple):
+    """Device-resident cluster index over the (padded) sorted point set."""
+    Xs: jnp.ndarray        # (N + P_max, d) points sorted by cluster, padded
+    sqs: jnp.ndarray       # (N + P_max,) squared norms, +inf on the pad
+    ids: jnp.ndarray       # (N + P_max,) original row id per sorted row (-1 pad)
+    starts: jnp.ndarray    # (C,) first sorted row of each cluster
+    counts: jnp.ndarray    # (C,) cluster sizes
+    centroids: jnp.ndarray  # (C, d)
+    radii: jnp.ndarray     # (C,) max member distance to centroid (inflated)
+    p_max: int             # static max cluster size
+
+
+def default_n_clusters(n: int, k: int = 1) -> int:
+    """Power-of-two C ~ min(sqrt(8N), N / 4k): sqrt(8N) balances the
+    certificate GEMM (N x C) against the candidate GEMM (N x V*P_max with
+    P_max ~ N/C); the N / 4k cap keeps the average cluster well above the
+    neighbor count — when a cluster holds fewer points than k, a query's
+    kNN ball inevitably straddles many clusters and the triangle-inequality
+    certificate almost never fires."""
+    c = 1
+    while c * c < 8 * n:
+        c *= 2
+    while c > 1 and c * 4 * k > n:
+        c //= 2
+    return min(c, max(1, n // 2))
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def _build_impl(X, key, C: int, iters: int):
+    N, d = X.shape
+    sq = jnp.sum(X * X, axis=1)
+
+    def assign_pass(cent):
+        """(N,) nearest-centroid id + (N,) squared distance, tiled so the
+        (tile, C) distance slab stays small."""
+        csq = jnp.sum(cent * cent, axis=1)
+        nt = -(-N // _ASSIGN_TILE)
+        Np = nt * _ASSIGN_TILE
+        Xp = jnp.zeros((Np, d), X.dtype).at[:N].set(X)
+        sp = jnp.zeros((Np,), sq.dtype).at[:N].set(sq)
+
+        def one(t0):
+            Xt = lax.dynamic_slice(Xp, (t0, jnp.zeros((), t0.dtype)),
+                                   (_ASSIGN_TILE, d))
+            st = lax.dynamic_slice(sp, (t0,), (_ASSIGN_TILE,))
+            d2 = (st[:, None] + csq[None, :]
+                  - 2.0 * jnp.matmul(Xt, cent.T,
+                                     precision=lax.Precision.HIGHEST))
+            return jnp.argmin(d2, axis=1).astype(jnp.int32), jnp.min(d2, axis=1)
+
+        ts = jnp.arange(nt, dtype=jnp.int32) * _ASSIGN_TILE
+        a, d2 = lax.map(one, ts)
+        return a.reshape(Np)[:N], d2.reshape(Np)[:N]
+
+    # Init from an iid draw (NOT a permutation sort — huge compile cost);
+    # duplicate picks just leave some clusters empty, which is harmless.
+    cent = X[jax.random.randint(key, (C,), 0, N)]
+
+    def lloyd(_, cent):
+        a, _ = assign_pass(cent)
+        tot = jnp.zeros((C, d), X.dtype).at[a].add(X)
+        cnt = jnp.zeros((C,), X.dtype).at[a].add(1.0)
+        return jnp.where(cnt[:, None] > 0, tot / jnp.maximum(cnt[:, None], 1),
+                         cent)
+
+    cent = lax.fori_loop(0, iters, lloyd, cent)
+    a, d2 = assign_pass(cent)
+    dist = jnp.sqrt(jnp.maximum(d2, 0.0))
+    radii = jnp.zeros((C,), X.dtype).at[a].max(dist)
+    radii = radii * (1.0 + 1e-6) + 1e-6          # absorb assignment rounding
+    counts = jnp.zeros((C,), jnp.int32).at[a].add(1)
+    starts = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                              jnp.cumsum(counts)[:-1]])
+    # Stable cluster-major layout (two-operand sort == stable argsort).
+    _, perm = lax.sort_key_val(a, jnp.arange(N, dtype=jnp.int32))
+    return X[perm], sq[perm], perm, starts, counts, cent, radii
+
+
+def build_index(X: jnp.ndarray, n_clusters: int | None = None,
+                seed: int = 0) -> PrunedIndex:
+    """Cluster X (N, d) and lay it out for pruned search. One host readback
+    (the (C,) counts) fixes the static per-cluster capacity P_max."""
+    N, d = X.shape
+    C = n_clusters or default_n_clusters(N)
+    Xs, sqs, perm, starts, counts, cent, radii = _build_impl(
+        X, jax.random.PRNGKey(seed), C, _LLOYD_ITERS)
+    p_max = int(np.max(np.asarray(counts)))
+    # Pad P_max rows so every dynamic_slice window [start, start + P_max)
+    # is in bounds without clamping (clamping would misalign the
+    # slot-vs-member masking).
+    Xs = jnp.concatenate([Xs, jnp.zeros((p_max, d), Xs.dtype)])
+    sqs = jnp.concatenate([sqs, jnp.full((p_max,), jnp.inf, sqs.dtype)])
+    ids = jnp.concatenate([perm, jnp.full((p_max,), -1, jnp.int32)])
+    return PrunedIndex(Xs, sqs, ids, starts, counts, cent, radii, p_max)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4), donate_argnums=(5,))
+def _query_batch(index: PrunedIndex, cids, k: int, V: int, p_max: int, out):
+    """Answer all queries owned by the clusters in `cids` (one scan step per
+    cluster), merging rows into the carried output arrays.
+
+    out = (dist (N + P_max, k), idx (N + P_max, k), cert (N + P_max,)).
+    Rows of distinct clusters are disjoint, so batching order is
+    irrelevant to the values.
+    """
+    Xs, sqs, ids, starts, counts, cent, radii = index[:7]
+    C, d = cent.shape
+    csq = jnp.sum(cent * cent, axis=1)
+    # V nearest clusters of each cluster, by centroid distance (self first).
+    cc = csq[:, None] + csq[None, :] - 2.0 * jnp.matmul(
+        cent, cent.T, precision=lax.Precision.HIGHEST)
+    _, nbrs = lax.top_k(-cc, V)                                # (C, V)
+    slot = jnp.arange(p_max, dtype=jnp.int32)
+
+    def one_cluster(out, ci):
+        dist_o, idx_o, cert_o = out
+        start, cnt = starts[ci], counts[ci]
+        z = jnp.zeros((), start.dtype)
+        Q = lax.dynamic_slice(Xs, (start, z), (p_max, d))
+        qsq = lax.dynamic_slice(sqs, (start,), (p_max,))
+        qid = lax.dynamic_slice(ids, (start,), (p_max,))
+        row_valid = slot < cnt
+
+        nb = nbrs[ci]                                          # (V,)
+        g = lambda arr, s: lax.dynamic_slice(arr, (s, z), (p_max, d))
+        cand = jax.vmap(g, in_axes=(None, 0))(Xs, starts[nb])  # (V, P, d)
+        candsq = jax.vmap(
+            lambda s: lax.dynamic_slice(sqs, (s,), (p_max,)))(starts[nb])
+        candid = jax.vmap(
+            lambda s: lax.dynamic_slice(ids, (s,), (p_max,)))(starts[nb])
+        cvalid = slot[None, :] < counts[nb][:, None]           # (V, P)
+        candsq = jnp.where(cvalid, candsq, jnp.inf)
+
+        W = V * p_max
+        d2 = (qsq[:, None] + candsq.reshape(W)[None, :]
+              - 2.0 * jnp.matmul(Q, cand.reshape(W, d).T,
+                                 precision=lax.Precision.HIGHEST))
+        neg, pos = lax.top_k(-d2, k)                           # (P, k)
+        kdist = jnp.sqrt(jnp.maximum(-neg, 0.0))
+        kidx = jnp.take(candid.reshape(W), pos)                # original ids
+        d_k = kdist[:, -1]
+
+        # Certificate: lower bound to every unvisited cluster vs d_k.
+        qc = (qsq[:, None] + csq[None, :]
+              - 2.0 * jnp.matmul(Q, cent.T,
+                                 precision=lax.Precision.HIGHEST))
+        lb = jnp.sqrt(jnp.maximum(qc, 0.0)) - radii[None, :]   # (P, C)
+        visited = jnp.any(jnp.arange(C, dtype=jnp.int32)[None, :]
+                          == nb[:, None], axis=0)              # (C,)
+        lb_min = jnp.min(jnp.where(visited[None, :], jnp.inf, lb), axis=1)
+        enough = jnp.sum(cvalid) >= k
+        cert = row_valid & enough & (
+            lb_min > d_k + _CERT_TOL * (1.0 + d_k))
+
+        def merge(buf, rows, valid):
+            cur = lax.dynamic_slice(
+                buf, (start,) + (z,) * (buf.ndim - 1),
+                (p_max,) + buf.shape[1:])
+            m = valid.reshape((p_max,) + (1,) * (buf.ndim - 1))
+            return lax.dynamic_update_slice(
+                buf, jnp.where(m, rows, cur),
+                (start,) + (z,) * (buf.ndim - 1))
+
+        return (merge(dist_o, kdist, row_valid),
+                merge(idx_o, kidx, row_valid),
+                merge(cert_o, cert, row_valid)), None
+
+    out, _ = lax.scan(one_cluster, out, cids)
+    return out
+
+
+def pruned_knn(X: jnp.ndarray, n_neighbors: int, visit: int = _DEFAULT_VISIT,
+               n_clusters: int | None = None, seed: int = 0,
+               index: PrunedIndex | None = None,
+               probe_min_cert: float | None = _PROBE_MIN_CERT):
+    """kNN of every row of X against X, via the pruned index.
+
+    Returns (dist (N, k), idx (N, k), cert (N,) bool) with k = n_neighbors
+    + 1 (the self point included, exactly like the brute path before its
+    self-drop). `cert[i]` True means row i's top-k is PROVEN equal to the
+    global top-k; callers must re-answer uncertified rows with the brute
+    path to guarantee exactness.
+
+    probe_min_cert: before the full pass, a spread-out sample of clusters
+    is answered and its certification rate measured; below this threshold
+    the function returns None — pruning is not going to pay on this
+    geometry (e.g. genuinely high-dimensional inputs, where EVERY exact
+    method including the reference's kd-tree degrades to linear scans) and
+    the caller should use the brute path directly. None disables probing.
+    """
+    N, d = X.shape
+    k = n_neighbors + 1
+    if index is None:
+        index = build_index(X, n_clusters, seed)
+    C = index.starts.shape[0]
+    V = min(visit, C)
+    if k > V * index.p_max:  # cannot even hold k candidates
+        raise ValueError(f"k={k} exceeds candidate capacity "
+                         f"{V}*{index.p_max}")
+    Np = N + index.p_max
+    out = (jnp.zeros((Np, k), X.dtype), jnp.full((Np, k), -1, jnp.int32),
+           jnp.zeros((Np,), bool))
+    cb = min(_CLUSTER_BATCH, C)
+
+    def batch(cids_np, out):
+        cids = jnp.asarray(np.minimum(cids_np, C - 1), jnp.int32)
+        return _query_batch(index, cids, k, V, index.p_max, out)
+
+    for lo in range(0, C, cb):
+        out = batch(np.arange(lo, lo + cb), out)
+        if lo == 0 and probe_min_cert is not None and C > cb:
+            # The first batch doubles as a certification probe: cluster ids
+            # come from iid random centroid init, so clusters 0..cb are a
+            # random spatial sample. Bailing here skips ~ (C - cb) / C of
+            # the work on geometries where pruning cannot pay.
+            n_cert = float(jnp.sum(out[2]))
+            n_probe = float(jnp.sum(index.counts[:cb]))
+            if n_probe > 0 and n_cert / n_probe < probe_min_cert:
+                return None
+    dist_s, idx_s, cert_s = out
+    # Back to original row order: sorted row j holds query ids[j].
+    inv = jnp.zeros((N,), jnp.int32).at[index.ids[:N]].set(
+        jnp.arange(N, dtype=jnp.int32))
+    return dist_s[inv], idx_s[inv], cert_s[inv]

@@ -117,6 +117,102 @@ def test_lisi_query_batching_matches_one_shot(monkeypatch):
     np.testing.assert_array_equal(batched, full)
 
 
+def _blobby(rng, n, d, n_clumps=10, spread=6.0):
+    centers = rng.normal(size=(n_clumps, d)) * spread
+    return (centers[rng.integers(0, n_clumps, n)]
+            + rng.normal(size=(n, d))).astype(np.float32)
+
+
+def test_pruned_knn_exact_vs_brute():
+    """The cluster-pruned sub-quadratic kNN returns the same neighbor sets
+    as the brute force — certified rows by the triangle-inequality proof,
+    the rest via the brute fallback — so LISI values agree to fp32
+    rounding."""
+    import jax.numpy as jnp
+    from harmonypy_tpu.lisi import _knn_batched, _knn_pruned
+    rng = np.random.default_rng(6)
+    X = _blobby(rng, 4000, 2)
+    meta = pd.DataFrame({"b": rng.choice(["x", "y"], size=4000)})
+
+    lb = hm.compute_lisi(X, meta, ["b"], knn="brute")
+    lp = hm.compute_lisi(X, meta, ["b"], knn="pruned")
+    np.testing.assert_allclose(lp, lb, rtol=1e-4, atol=1e-4)
+
+    # Internals: a healthy certification rate on clumpy low-d data, and
+    # bitwise-equal neighbor ids wherever distances are not near-tied.
+    from harmonypy_tpu.ops.knn_pruned import (build_index,
+                                              default_n_clusters, pruned_knn)
+    Xd = jnp.asarray(X)
+    qid = jnp.arange(4000, dtype=jnp.int32)
+    index = build_index(Xd, default_n_clusters(4000, 90))
+    dist, idx, cert = pruned_knn(Xd, 89, index=index, probe_min_cert=None)
+    assert float(np.mean(np.asarray(cert))) > 0.8
+    pd_, pi_ = _knn_pruned(Xd, 89, qid)
+    bd_, bi_ = _knn_batched(Xd, Xd, 89, None, qid=qid)
+    np.testing.assert_allclose(np.asarray(pd_), np.asarray(bd_), atol=1e-4)
+    same = np.mean(np.asarray(pi_) == np.asarray(bi_))
+    assert same > 0.999, same  # only near-tied boundary entries may differ
+
+
+def test_pruned_knn_fallback_covers_uncertified():
+    """Rows the certificate cannot prove exact are re-answered brute-force:
+    with a mid-certification geometry the combined result still equals the
+    brute values everywhere."""
+    import jax.numpy as jnp
+    from harmonypy_tpu.lisi import _knn_batched, _knn_pruned
+    from harmonypy_tpu.ops.knn_pruned import (build_index,
+                                              default_n_clusters, pruned_knn)
+    rng = np.random.default_rng(7)
+    X = _blobby(rng, 3000, 6, n_clumps=8, spread=3.0)
+    Xd = jnp.asarray(X)
+    # visit=2 starves the candidate set so some queries cannot be certified.
+    index = build_index(Xd, default_n_clusters(3000, 46))
+    _, _, cert = pruned_knn(Xd, 45, visit=2, index=index,
+                            probe_min_cert=None)
+    frac = float(np.mean(np.asarray(cert)))
+    assert frac < 1.0, "geometry certified fully; fallback not exercised"
+    qid = jnp.arange(3000, dtype=jnp.int32)
+    pd_, _ = _knn_pruned(Xd, 45, qid, visit=2)
+    bd_, _ = _knn_batched(Xd, Xd, 45, None, qid=qid)
+    np.testing.assert_allclose(np.asarray(pd_), np.asarray(bd_), atol=1e-4)
+
+
+def test_pruned_probe_bails_on_high_dim(monkeypatch):
+    """On genuinely high-dimensional data the probe batch certifies almost
+    nothing and the pruned path bows out (None) — compute_lisi silently
+    uses the brute force (exact either way)."""
+    import harmonypy_tpu.ops.knn_pruned as kp
+    import jax.numpy as jnp
+    from harmonypy_tpu.lisi import _knn_pruned
+    rng = np.random.default_rng(8)
+    X = rng.uniform(size=(4000, 32)).astype(np.float32)
+    monkeypatch.setattr(kp, "_CLUSTER_BATCH", 8)  # C > batch => probe runs
+    res = _knn_pruned(jnp.asarray(X), 14, jnp.arange(4000, dtype=jnp.int32))
+    assert res is None
+    meta = pd.DataFrame({"b": rng.choice(["x", "y"], size=4000)})
+    lb = hm.compute_lisi(X, meta, ["b"], perplexity=5, knn="brute")
+    lp = hm.compute_lisi(X, meta, ["b"], perplexity=5, knn="pruned")
+    np.testing.assert_allclose(lp, lb, rtol=1e-5, atol=1e-5)
+
+
+def test_pruned_auto_dispatch_and_sample(monkeypatch):
+    """knn='exact' auto-selects pruning above _PRUNED_MIN_N for full-N
+    single-device queries (same values as brute), and forced pruned mode
+    composes with sample= (rows subset after the full-N search)."""
+    import harmonypy_tpu.lisi as lisi_mod
+    rng = np.random.default_rng(9)
+    X = _blobby(rng, 2500, 2)
+    meta = pd.DataFrame({"b": rng.choice(["x", "y", "z"], size=2500)})
+    brute = hm.compute_lisi(X, meta, ["b"], knn="brute")
+    monkeypatch.setattr(lisi_mod, "_PRUNED_MIN_N", 1000)
+    auto = hm.compute_lisi(X, meta, ["b"])           # default knn="exact"
+    np.testing.assert_allclose(auto, brute, rtol=1e-4, atol=1e-4)
+
+    sampled, idx = hm.compute_lisi(X, meta, ["b"], knn="pruned",
+                                   sample=300, random_state=3)
+    np.testing.assert_allclose(sampled, brute[idx], rtol=1e-4, atol=1e-4)
+
+
 def test_lisi_approx_close_to_exact():
     """knn='approx' (TPU hardware approximate top-k; exact fallback sort on
     CPU) stays within a small tolerance of the exact values, and rejects
