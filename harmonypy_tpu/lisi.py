@@ -33,6 +33,24 @@ _KNN_TILE = 131_072  # reference-set tile (memory cap ~ chunk x tile floats)
 _PRUNED_MIN_N = 100_000
 
 
+@jax.jit
+def _drop_self_by_id(dist, idx, qid):
+    """Id-based self-neighbor drop for (M, k) results: remove the entry
+    whose index equals the query's own row id, or the worst candidate if
+    self is absent (possible under approx top-k at recall < 1 — discarding
+    column 0 there would throw away the true nearest neighbor). The single
+    definition shared by the brute in-chunk path and the pruned path: the
+    pruned-vs-brute exactness contract depends on both applying the same
+    tie/absent-self rule."""
+    k = dist.shape[1]
+    match = idx == qid[:, None]
+    pos = jnp.where(jnp.any(match, axis=1), jnp.argmax(match, axis=1), k - 1)
+    keep = jnp.arange(k - 1, dtype=jnp.int32)[None, :]
+    keep = keep + (keep >= pos[:, None])
+    return (jnp.take_along_axis(dist, keep, axis=1),
+            jnp.take_along_axis(idx, keep, axis=1))
+
+
 def _knn_impl(Q: jnp.ndarray, X: jnp.ndarray, n_neighbors: int,
               chunk: int = 1024, approx: bool = False, qid=None):
     """Brute-force kNN of queries Q (M, d) against reference set X
@@ -62,6 +80,16 @@ def _knn_impl(Q: jnp.ndarray, X: jnp.ndarray, n_neighbors: int,
     M, d = Q.shape
     N = X.shape[0]
     k = n_neighbors + 1  # top-k includes the point itself
+    # Center on X's column means (Q is a subset of X's rows): distances are
+    # translation-invariant, but the fp32 error of the GEMM expansion
+    # ||q||^2 + ||x||^2 - 2 q.x scales with the squared row norms — on an
+    # uncentered embedding (norms >> pairwise distances) neighbor ranks
+    # would be fp32 noise. Centering makes the computed distances accurate
+    # at the scale of the data spread, matching the reference kd-tree's
+    # direct (x - q) arithmetic.
+    mu = jnp.mean(X, axis=0, keepdims=True)
+    X = X - mu
+    Q = Q - mu
     sq = jnp.sum(X * X, axis=1)
 
     n_chunks = -(-M // chunk)
@@ -115,18 +143,8 @@ def _knn_impl(Q: jnp.ndarray, X: jnp.ndarray, n_neighbors: int,
         dist = jnp.sqrt(jnp.maximum(-neg, 0.0))
         if qidp is None:
             return dist[:, 1:], idx[:, 1:]            # drop self positionally
-        # Drop the self-neighbor by id: remove the entry matching the
-        # query's own row id, or the worst candidate if self is absent
-        # (approx top-k at recall < 1 can drop the self point — discarding
-        # column 0 there would throw away the true nearest neighbor).
         qc = lax.dynamic_slice(qidp, (start,), (chunk,))
-        match = idx == qc[:, None]
-        pos = jnp.where(jnp.any(match, axis=1),
-                        jnp.argmax(match, axis=1), k - 1)       # (chunk,)
-        keep = jnp.arange(k - 1, dtype=jnp.int32)[None, :]
-        keep = keep + (keep >= pos[:, None])                    # skip `pos`
-        return (jnp.take_along_axis(dist, keep, axis=1),
-                jnp.take_along_axis(idx, keep, axis=1))
+        return _drop_self_by_id(dist, idx, qc)
 
     starts = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
     dists, idxs = lax.map(one_chunk, starts)
@@ -136,20 +154,6 @@ def _knn_impl(Q: jnp.ndarray, X: jnp.ndarray, n_neighbors: int,
 
 
 _knn = jax.jit(_knn_impl, static_argnums=(2, 3, 4))
-
-
-@jax.jit
-def _drop_self_by_id(dist, idx, qid):
-    """Standalone id-based self-neighbor drop for (M, k) results (same rule
-    as the in-chunk drop in _knn_impl: remove the entry whose index equals
-    the query's own row id, or the worst candidate if absent)."""
-    k = dist.shape[1]
-    match = idx == qid[:, None]
-    pos = jnp.where(jnp.any(match, axis=1), jnp.argmax(match, axis=1), k - 1)
-    keep = jnp.arange(k - 1, dtype=jnp.int32)[None, :]
-    keep = keep + (keep >= pos[:, None])
-    return (jnp.take_along_axis(dist, keep, axis=1),
-            jnp.take_along_axis(idx, keep, axis=1))
 
 
 def _knn_pruned(X, n_neighbors: int, qid, visit: int | None = None):

@@ -41,9 +41,16 @@ import jax.numpy as jnp
 from jax import lax
 
 # Certificate slack: distances enter via two different fp32 GEMMs
-# (query x candidate vs query x centroid), so a borderline bound within a
-# few ulps could mis-certify. The margin is conservative: a falsely
-# UNcertified query only costs a fallback recompute.
+# (query x candidate vs query x centroid), and the absolute error of a
+# squared distance computed as ||q||^2 + ||x||^2 - 2 q.x scales with the
+# squared DATA RADIUS (the norms), not with the distance itself. The
+# margin is therefore scale-aware — _CERT_TOL * (R + d_k) with R the max
+# row norm of the CENTERED point set (the index centers the data first;
+# distances are translation-invariant, and centering minimizes R, i.e.
+# the cancellation error). A falsely UNcertified query only costs a
+# fallback recompute; mis-ranked neighbors within the margin are
+# distance-indistinguishable at fp32 (the brute path's own rounding
+# granularity).
 _CERT_TOL = 1e-4
 
 _LLOYD_ITERS = 12       # tighter cells -> smaller radii -> more certificates
@@ -54,8 +61,11 @@ _PROBE_MIN_CERT = 0.5   # below this probe certification rate, bail to brute
 
 
 class PrunedIndex(NamedTuple):
-    """Device-resident cluster index over the (padded) sorted point set."""
-    Xs: jnp.ndarray        # (N + P_max, d) points sorted by cluster, padded
+    """Device-resident cluster index over the (padded) sorted point set.
+    Points are stored CENTERED (column means subtracted): distances are
+    translation-invariant, and centering minimizes the row norms that set
+    the fp32 cancellation error of every distance GEMM (see _CERT_TOL)."""
+    Xs: jnp.ndarray        # (N + P_max, d) centered points sorted by cluster
     sqs: jnp.ndarray       # (N + P_max,) squared norms, +inf on the pad
     ids: jnp.ndarray       # (N + P_max,) original row id per sorted row (-1 pad)
     starts: jnp.ndarray    # (C,) first sorted row of each cluster
@@ -63,6 +73,7 @@ class PrunedIndex(NamedTuple):
     centroids: jnp.ndarray  # (C, d)
     radii: jnp.ndarray     # (C,) max member distance to centroid (inflated)
     p_max: int             # static max cluster size
+    scale: jnp.ndarray = None  # () max centered row norm (certificate margin)
 
 
 def default_n_clusters(n: int, k: int = 1) -> int:
@@ -83,7 +94,14 @@ def default_n_clusters(n: int, k: int = 1) -> int:
 @functools.partial(jax.jit, static_argnums=(2, 3))
 def _build_impl(X, key, C: int, iters: int):
     N, d = X.shape
+    # Center: distances are translation-invariant and the fp32 error of
+    # ||q||^2 + ||x||^2 - 2 q.x scales with the squared row norms, so an
+    # uncentered embedding (norms >> pairwise distances) would make both
+    # the candidate distances and the certificate bound lose the digits
+    # the exactness proof compares.
+    X = X - jnp.mean(X, axis=0, keepdims=True)
     sq = jnp.sum(X * X, axis=1)
+    scale = jnp.sqrt(jnp.max(sq))
 
     def assign_pass(cent):
         """(N,) nearest-centroid id + (N,) squared distance, tiled so the
@@ -128,16 +146,19 @@ def _build_impl(X, key, C: int, iters: int):
                               jnp.cumsum(counts)[:-1]])
     # Stable cluster-major layout (two-operand sort == stable argsort).
     _, perm = lax.sort_key_val(a, jnp.arange(N, dtype=jnp.int32))
-    return X[perm], sq[perm], perm, starts, counts, cent, radii
+    return X[perm], sq[perm], perm, starts, counts, cent, radii, scale
 
 
 def build_index(X: jnp.ndarray, n_clusters: int | None = None,
                 seed: int = 0) -> PrunedIndex:
-    """Cluster X (N, d) and lay it out for pruned search. One host readback
-    (the (C,) counts) fixes the static per-cluster capacity P_max."""
+    """Cluster X (N, d) and lay it out (centered) for pruned search. One
+    host readback (the (C,) counts) fixes the static per-cluster capacity
+    P_max. n_clusters defaults to default_n_clusters(N) — callers that
+    know their k should pass default_n_clusters(N, k) so clusters stay
+    comfortably larger than the neighbor count."""
     N, d = X.shape
     C = n_clusters or default_n_clusters(N)
-    Xs, sqs, perm, starts, counts, cent, radii = _build_impl(
+    Xs, sqs, perm, starts, counts, cent, radii, scale = _build_impl(
         X, jax.random.PRNGKey(seed), C, _LLOYD_ITERS)
     p_max = int(np.max(np.asarray(counts)))
     # Pad P_max rows so every dynamic_slice window [start, start + P_max)
@@ -146,11 +167,25 @@ def build_index(X: jnp.ndarray, n_clusters: int | None = None,
     Xs = jnp.concatenate([Xs, jnp.zeros((p_max, d), Xs.dtype)])
     sqs = jnp.concatenate([sqs, jnp.full((p_max,), jnp.inf, sqs.dtype)])
     ids = jnp.concatenate([perm, jnp.full((p_max,), -1, jnp.int32)])
-    return PrunedIndex(Xs, sqs, ids, starts, counts, cent, radii, p_max)
+    return PrunedIndex(Xs, sqs, ids, starts, counts, cent, radii, p_max,
+                       scale)
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4), donate_argnums=(5,))
-def _query_batch(index: PrunedIndex, cids, k: int, V: int, p_max: int, out):
+@functools.partial(jax.jit, static_argnums=(1,))
+def _cluster_neighbors(cent, V: int):
+    """(C, V) ids of the V nearest clusters of each cluster, by centroid
+    distance (self first). Depends only on (index, V) — computed once per
+    search, shared by every query batch."""
+    csq = jnp.sum(cent * cent, axis=1)
+    cc = csq[:, None] + csq[None, :] - 2.0 * jnp.matmul(
+        cent, cent.T, precision=lax.Precision.HIGHEST)
+    _, nbrs = lax.top_k(-cc, V)
+    return nbrs
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4, 5), donate_argnums=(6,))
+def _query_batch(index: PrunedIndex, cids, nbrs, k: int, V: int, p_max: int,
+                 out):
     """Answer all queries owned by the clusters in `cids` (one scan step per
     cluster), merging rows into the carried output arrays.
 
@@ -161,10 +196,6 @@ def _query_batch(index: PrunedIndex, cids, k: int, V: int, p_max: int, out):
     Xs, sqs, ids, starts, counts, cent, radii = index[:7]
     C, d = cent.shape
     csq = jnp.sum(cent * cent, axis=1)
-    # V nearest clusters of each cluster, by centroid distance (self first).
-    cc = csq[:, None] + csq[None, :] - 2.0 * jnp.matmul(
-        cent, cent.T, precision=lax.Precision.HIGHEST)
-    _, nbrs = lax.top_k(-cc, V)                                # (C, V)
     slot = jnp.arange(p_max, dtype=jnp.int32)
 
     def one_cluster(out, ci):
@@ -205,7 +236,7 @@ def _query_batch(index: PrunedIndex, cids, k: int, V: int, p_max: int, out):
         lb_min = jnp.min(jnp.where(visited[None, :], jnp.inf, lb), axis=1)
         enough = jnp.sum(cvalid) >= k
         cert = row_valid & enough & (
-            lb_min > d_k + _CERT_TOL * (1.0 + d_k))
+            lb_min > d_k + _CERT_TOL * (index.scale + d_k))
 
         def merge(buf, rows, valid):
             cur = lax.dynamic_slice(
@@ -246,12 +277,13 @@ def pruned_knn(X: jnp.ndarray, n_neighbors: int, visit: int = _DEFAULT_VISIT,
     N, d = X.shape
     k = n_neighbors + 1
     if index is None:
-        index = build_index(X, n_clusters, seed)
+        index = build_index(X, n_clusters or default_n_clusters(N, k), seed)
     C = index.starts.shape[0]
     V = min(visit, C)
     if k > V * index.p_max:  # cannot even hold k candidates
         raise ValueError(f"k={k} exceeds candidate capacity "
                          f"{V}*{index.p_max}")
+    nbrs = _cluster_neighbors(index.centroids, V)
     Np = N + index.p_max
     out = (jnp.zeros((Np, k), X.dtype), jnp.full((Np, k), -1, jnp.int32),
            jnp.zeros((Np,), bool))
@@ -259,7 +291,7 @@ def pruned_knn(X: jnp.ndarray, n_neighbors: int, visit: int = _DEFAULT_VISIT,
 
     def batch(cids_np, out):
         cids = jnp.asarray(np.minimum(cids_np, C - 1), jnp.int32)
-        return _query_batch(index, cids, k, V, index.p_max, out)
+        return _query_batch(index, cids, nbrs, k, V, index.p_max, out)
 
     for lo in range(0, C, cb):
         out = batch(np.arange(lo, lo + cb), out)

@@ -123,6 +123,20 @@ def _blobby(rng, n, d, n_clumps=10, spread=6.0):
             + rng.normal(size=(n, d))).astype(np.float32)
 
 
+def _assert_same_distances(pd_, bd_, X):
+    """Pruned and brute kNN distances agree up to each path's own fp32
+    rounding: the GEMM expansion's absolute error lives on the SQUARED
+    distances at the scale of eps times the squared data radius (both
+    paths center first), so that's the comparison that is meaningful —
+    relative agreement of tiny distances is not achievable in fp32 by
+    either path (nor by the reference's float64 kd-tree read back as
+    float32)."""
+    R2 = float(np.max(np.sum((X - X.mean(0)) ** 2, axis=1)))
+    tol = 1e-4 * R2
+    np.testing.assert_allclose(np.asarray(pd_) ** 2, np.asarray(bd_) ** 2,
+                               rtol=0, atol=tol)
+
+
 def test_pruned_knn_exact_vs_brute():
     """The cluster-pruned sub-quadratic kNN returns the same neighbor sets
     as the brute force — certified rows by the triangle-inequality proof,
@@ -149,9 +163,33 @@ def test_pruned_knn_exact_vs_brute():
     assert float(np.mean(np.asarray(cert))) > 0.8
     pd_, pi_ = _knn_pruned(Xd, 89, qid)
     bd_, bi_ = _knn_batched(Xd, Xd, 89, None, qid=qid)
-    np.testing.assert_allclose(np.asarray(pd_), np.asarray(bd_), atol=1e-4)
+    _assert_same_distances(pd_, bd_, X)
     same = np.mean(np.asarray(pi_) == np.asarray(bi_))
     assert same > 0.999, same  # only near-tied boundary entries may differ
+
+
+def test_knn_uncentered_data_stays_exact():
+    """Regression: both kNN paths center internally, so an embedding far
+    from the origin (where the fp32 error of the ||q||^2+||x||^2-2qx GEMM
+    expansion, which scales with the squared norms, would otherwise drown
+    the neighbor ranks) still returns float64-true neighbor sets."""
+    import jax.numpy as jnp
+    from harmonypy_tpu.lisi import _knn_batched, _knn_pruned
+    rng = np.random.default_rng(12)
+    X = _blobby(rng, 2000, 8) + 1024.0
+    Xd = jnp.asarray(X)
+    qid = jnp.arange(2000, dtype=jnp.int32)
+    pd_, pi_ = _knn_pruned(Xd, 29, qid)
+    bd_, bi_ = _knn_batched(Xd, Xd, 29, None, qid=qid)
+
+    m = 200  # float64 truth on a slice
+    X64 = X.astype(np.float64)
+    d2 = ((X64[:m, None, :] - X64[None, :, :]) ** 2).sum(-1)
+    d2[np.arange(m), np.arange(m)] = np.inf
+    order = np.argsort(d2, axis=1)[:, :29]
+    for name, ids in (("pruned", pi_), ("brute", bi_)):
+        match = np.mean(np.asarray(ids)[:m] == order)
+        assert match > 0.995, (name, match)  # only fp32 ties may differ
 
 
 def test_pruned_knn_fallback_covers_uncertified():
@@ -174,7 +212,7 @@ def test_pruned_knn_fallback_covers_uncertified():
     qid = jnp.arange(3000, dtype=jnp.int32)
     pd_, _ = _knn_pruned(Xd, 45, qid, visit=2)
     bd_, _ = _knn_batched(Xd, Xd, 45, None, qid=qid)
-    np.testing.assert_allclose(np.asarray(pd_), np.asarray(bd_), atol=1e-4)
+    _assert_same_distances(pd_, bd_, X)
 
 
 def test_pruned_probe_bails_on_high_dim(monkeypatch):

@@ -38,11 +38,12 @@ def main():
     if os.environ.get("AB_MIDN_NS"):  # CPU smoke: e.g. AB_MIDN_NS=2048,4096
         N_LIST = tuple(int(x) for x in os.environ["AB_MIDN_NS"].split(","))
     import jax
+    if os.environ.get("AB_PLATFORM"):  # e.g. cpu for a smoke run
+        jax.config.update("jax_platforms", os.environ["AB_PLATFORM"])
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    from harmonypy_tpu.config import (EngineConfig, auto_chunk_size,
-                                      default_nclust)
+    from harmonypy_tpu.config import EngineConfig, default_nclust
     from harmonypy_tpu.engine import get_engine
     from harmonypy_tpu.parallel.mesh import AXIS, make_mesh
     from harmonypy_tpu.state import HarmonyData, HarmonyParams
@@ -84,20 +85,38 @@ def main():
             st, it = run()
             best = min(best, time.time() - t0)
         total_rounds = int(np.asarray(
-            jnp.sum(st.kmeans_rounds[:st.n_iter_harmony])))
+            jnp.sum(st.kmeans_rounds[:st.n_harmony])))
         row = {"N": n, "variant": name, "K": k,
                "chunk_size": cfg.chunk_size if cfg.fused_estep else None,
                "fit_s": round(best, 4), "warmup_s": round(warm, 1),
-               "iters": int(np.asarray(st.n_iter_harmony)),
+               "iters": int(np.asarray(st.n_harmony)),
                "total_rounds": total_rounds,
                "s_per_round": round(best / max(total_rounds, 1), 5)}
         print(json.dumps(row), flush=True)
         rows.append(row)
         return best
 
+    import math
+
+    from harmonypy_tpu.config import fused_geometry_ok
+
+    def forced_fused_chunk(n, block_size=0.05):
+        """Largest lane-aligned power-of-two chunk with one real chunk per
+        block — what auto_chunk_size would pick if it did NOT prefer the
+        per-cell path below _PER_CELL_MAX_N (forcing fused is the whole
+        point of this A/B, so the auto heuristic can't be used here)."""
+        nb = int(math.ceil(1.0 / block_size))
+        c = min(2048, 1 << int(math.floor(math.log2(max(n // nb, 1)))))
+        return c if c >= 128 and fused_geometry_ok(n, 1, block_size, c) \
+            else None
+
     for n in N_LIST:
         a = run_variant(n, "per_cell")
-        c = auto_chunk_size(n)
+        c = forced_fused_chunk(n)
+        if c is None:
+            print(json.dumps({"N": n, "fused_defer": "no valid geometry"}),
+                  flush=True)
+            continue
         b = run_variant(n, "fused_defer", use_fused_xla=True, defer_r=True,
                         chunk_size=c)
         print(json.dumps({"N": n, "fused_over_percell_fit": round(b / a, 3)}),
@@ -105,13 +124,14 @@ def main():
 
     per = {r["N"]: r for r in rows if r["variant"] == "per_cell"}
     fus = {r["N"]: r for r in rows if r["variant"] == "fused_defer"}
-    crossover = [n for n in N_LIST if fus[n]["fit_s"] < per[n]["fit_s"]]
+    both = [n for n in N_LIST if n in per and n in fus]
+    crossover = [n for n in both if fus[n]["fit_s"] < per[n]["fit_s"]]
     print(json.dumps({
         "summary": "mid-N per-cell vs fused(defer)",
         "fused_faster_at": crossover,
         "per_cell_max_n_consistent": all(
             (n < 20_480) == (per[n]["fit_s"] <= fus[n]["fit_s"])
-            for n in N_LIST)}), flush=True)
+            for n in both)}), flush=True)
 
 
 if __name__ == "__main__":

@@ -79,6 +79,10 @@ def main():
     t0 = time.time()
     index = build_index(Xd, default_n_clusters(n, k + 1))
     res = pruned_knn(Xd, k, index=index)
+    if res is None:  # probe bailed — pruning cannot pay on this geometry
+        out["pruned_probe_bailed"] = True
+        print(json.dumps(out), flush=True)
+        return
     cert = np.asarray(res[2])  # forces completion (host readback)
     t_search = time.time() - t0
     out["pruned_cert_rate"] = round(float(np.mean(cert)), 4)
@@ -93,7 +97,10 @@ def main():
     # -- brute slice -> full-N estimate ------------------------------------
     m = args.slice
     qid = jnp.arange(m, dtype=jnp.int32)
-    _knn_batched(Xd[:256], Xd, k, qid=qid[:256])  # warm the executable shape
+    # Warm with the EXACT measured shape: _knn is shape-specialized, so a
+    # smaller warm-up would leave the first (m, d) execution's server-side
+    # compile inside the timed region (and brute_est_s scales it by n/m).
+    np.asarray(_knn_batched(Xd[:m], Xd, k, qid=qid)[0])
     t0 = time.time()
     bd, bi = _knn_batched(Xd[:m], Xd, k, qid=qid)
     bd_np = np.asarray(bd)
