@@ -45,12 +45,17 @@ def test_cli_lisi(files, capsys):
     assert (lisi["donor"] >= 1 - 1e-6).all()
     assert (lisi["donor"] <= 3 + 1e-6).all()
 
-    # --knn approx runs and stays in range too
-    out2 = str(d / "lisi_approx.tsv")
-    cli_main(["lisi", "--x", pcs, "--meta", meta, "--labels", "donor",
-              "--knn", "approx", "--out", out2])
-    la = pd.read_csv(out2, sep="\t")
-    assert (la["donor"] >= 1 - 1e-6).all()
+    # the other --knn modes run and match the exact values
+    for mode, exact in (("approx", False), ("brute", True),
+                        ("pruned", True)):
+        out2 = str(d / f"lisi_{mode}.tsv")
+        cli_main(["lisi", "--x", pcs, "--meta", meta, "--labels", "donor",
+                  "--knn", mode, "--out", out2])
+        la = pd.read_csv(out2, sep="\t")
+        assert (la["donor"] >= 1 - 1e-6).all()
+        if exact:
+            np.testing.assert_allclose(la["donor"], lisi["donor"],
+                                       rtol=1e-4, atol=1e-4)
 
 
 def test_harmony_integrate_helper():
