@@ -69,7 +69,11 @@ def measure(n: int = 131_072, n_queries: int = 16_384, d: int = 29,
 
     res = {"approx_knn_recall": round(float(recall), 4),
            "approx_knn_lisi_mad": float(f"{mad:.3g}"),
-           "approx_knn_n": n, "approx_knn_queries": n_queries}
+           "approx_knn_n": n, "approx_knn_queries": n_queries,
+           # gate: the per-tile recall target is 0.95; end-to-end recall
+           # below 0.9 or LISI drifting past the 0.05 test tolerance means
+           # the hardware operator is not delivering its contract
+           "approx_knn_ok": bool(recall >= 0.9 and mad < 0.05)}
 
     if pruned:
         # Sub-quadratic EXACT path (ops/knn_pruned.py) certified against
@@ -94,8 +98,14 @@ def measure(n: int = 131_072, n_queries: int = 16_384, d: int = 29,
         # uncertified slice rows differ until the brute fallback patches
         # them (lisi._knn_pruned does); compare certified rows only here
         ok = cert[:n_queries]
-        res["pruned_vs_exact_dist_max"] = float(
-            f"{np.max(np.abs(np.asarray(pd_)[ok] - np.asarray(d_ex)[ok])):.3g}")
+        dmax = float(np.max(np.abs(np.asarray(pd_)[ok] ** 2
+                                   - np.asarray(d_ex)[ok] ** 2)))
+        # gate on SQUARED distances: the GEMM expansion's fp32 error is
+        # absolute at the eps * R^2 scale (R = max centered row norm)
+        r2 = float(np.max(np.sum((np.asarray(Xd)
+                                  - np.asarray(Xd).mean(0)) ** 2, axis=1)))
+        res["pruned_vs_exact_d2_max"] = float(f"{dmax:.3g}")
+        res["pruned_exact_ok"] = bool(dmax <= 1e-4 * r2)
     return res
 
 
