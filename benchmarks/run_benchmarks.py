@@ -314,6 +314,20 @@ def main(tiers):
     unknown = [t for t in tiers if t not in BASELINES]
     if unknown:
         sys.exit(f"unknown tier(s) {unknown}; valid: {sorted(BASELINES)}")
+    if os.environ.get("BENCH_PLATFORM"):  # e.g. cpu when the TPU is away
+        import jax
+        jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
+    else:
+        # Same fail-fast as bench.py: the tunneled TPU has measured
+        # multi-hour outages during which jax.devices() blocks forever.
+        sys.path.insert(0, _REPO)
+        from bench import _backend_reachable
+        probe_s = float(os.environ.get("BENCH_BACKEND_PROBE_S", 300))
+        if probe_s > 0:
+            err = _backend_reachable(probe_s)
+            if err is not None:
+                sys.exit(f"backend unreachable ({err}); set "
+                         f"BENCH_PLATFORM=cpu to run on the host")
     results = {}
     t_all = time.time()
     for tier in tiers:
