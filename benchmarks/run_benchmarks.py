@@ -222,10 +222,12 @@ def bench_xlarge(results):
 
 def bench_lisi_large(results):
     """Full-N exact LISI at the 858k tier (VERDICT r1 #7): every cell is a
-    query, neighbors from all cells — the O(N^2 d) computation the
-    reference's kd-tree cannot finish at this scale in high dimensions. The
-    embedding is generated on device (timing the compute, not the dev-tunnel
-    upload); the mesh shards queries when >1 device is present."""
+    query, neighbors from all cells. On one device knn="exact" auto-selects
+    the sub-quadratic cluster-pruned search (ops/knn_pruned.py) — the TPU
+    counterpart of the reference's kd-tree — instead of the O(N^2 d) brute
+    force. The embedding is generated on device (timing the compute, not
+    the dev-tunnel upload); the mesh shards brute-force queries when >1
+    device is present."""
     import jax
     import jax.numpy as jnp
     import harmonypy_tpu as hm
@@ -264,11 +266,20 @@ def bench_lisi_large(results):
                               jnp.zeros((N, k), jnp.int32),
                               jnp.asarray(np.asarray(batches, np.int32)), 3,
                               jnp.float32(np.log(30.0)), jnp.float32(1e-5)))
+    from harmonypy_tpu.lisi import _PRUNED_MIN_N
+    pruned_path = m is None and N >= _PRUNED_MIN_N
+    if pruned_path:
+        # The pruned index/scan programs are N-shaped; a full untimed run
+        # is the only way to warm them (cheap — the path exists because it
+        # is an order of magnitude under the brute force).
+        hm.compute_lisi(X, meta, ["batch"], mesh=m)
     t0 = time.time()
     vals = hm.compute_lisi(X, meta, ["batch"], mesh=m)
     dt = time.time() - t0
     results["lisi_large"] = dict(seconds=dt, cells_per_s=round(N / dt),
-                                 mean_lisi=round(float(vals.mean()), 4))
+                                 mean_lisi=round(float(vals.mean()), 4),
+                                 algorithm=("pruned+fallback" if pruned_path
+                                            else "brute"))
 
     # Hardware approximate top-k (knn="approx", recall 0.95/tile): measured
     # 36x faster at this scale with matching values.
