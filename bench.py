@@ -96,7 +96,10 @@ def main():
             # output gets an explicit infrastructure failure, not a stall.
             print(json.dumps({
                 "metric": "harmony_858k_cells_wall_clock", "value": None,
-                "unit": "s", "vs_baseline": None, "error": err}), flush=True)
+                "unit": "s", "vs_baseline": None, "error": err,
+                "note": "tunneled TPU unreachable (multi-hour outages "
+                        "observed); last measured headline is in the "
+                        "previous round's BENCH json"}), flush=True)
             print(f"# backend unreachable: {err}", file=sys.stderr)
             return
     import jax
