@@ -45,7 +45,19 @@ N_BATCHES = 3
 N_GROUPS = 24
 K = 100  # reference default: min(round(N/30), 100) (harmony.py:123-124)
 
-REF_DATA = os.environ.get("HARMONYPY_REF_DATA", "/root/reference/data")
+def _default_ref_data() -> str:
+    # Env override first; else the fixtures bundled with the package
+    # (harmonypy_tpu/data ships all files read here); else the reference
+    # checkout on the dev box.
+    env = os.environ.get("HARMONYPY_REF_DATA")
+    if env:
+        return env
+    pkg = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "harmonypy_tpu", "data")
+    return pkg if os.path.isdir(pkg) else "/root/reference/data"
+
+
+REF_DATA = _default_ref_data()
 
 
 def _gen_host(cfg):

@@ -88,7 +88,11 @@ def measure(n: int = 131_072, n_queries: int = 16_384, d: int = 29,
         index = build_index(Xd, default_n_clusters(n, k + 1))
         pres = pruned_knn(Xd, k, index=index)
         if pres is None:  # probe bailed (should not happen on this data)
+            # Emit the gate fields explicitly: a consumer reading booleans
+            # must see an anomaly, not a missing-field false pass.
             res["pruned_knn_s"] = -1.0
+            res["pruned_bailed"] = True
+            res["pruned_exact_ok"] = False
             return res
         cert = np.asarray(pres[2])
         res["pruned_knn_s"] = round(time.time() - t0, 2)

@@ -37,7 +37,18 @@ os.environ.setdefault(
 import numpy as np
 import pandas as pd
 
-REF_DATA = os.environ.get("HARMONYPY_REF_DATA", "/root/reference/data")
+def _default_ref_data() -> str:
+    # Env override first; else the fixtures bundled with the package; else
+    # the reference checkout on the dev box.
+    env = os.environ.get("HARMONYPY_REF_DATA")
+    if env:
+        return env
+    pkg = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
+                       "harmonypy_tpu", "data")
+    return pkg if os.path.isdir(pkg) else "/root/reference/data"
+
+
+REF_DATA = _default_ref_data()
 BASELINES = {"small": 3.48, "medium": 9.26, "large": 21.75, "lisi": 0.3,
              "xlarge": None, "lisi_large": None}
 

@@ -324,6 +324,15 @@ class Harmony:
                 f"their previous assignment for one round (bound tested in "
                 f"tests/test_partition.py; see README 'Per-cell path "
                 f"capacity rule').")
+            # Surface the weaker invariance contract (the fused paths are
+            # bitwise device-count-invariant; this one is reduction-order
+            # tight only — ops/update_r.py docstring).
+            logger.info(
+                f"per-cell E-step: results are mesh-invariant to "
+                f"reduction-order tolerance (~1e-5 across device counts), "
+                f"not bitwise; a smaller chunk_size (e.g. chunk_size=128) "
+                f"restores the fused path's bitwise device-count-"
+                f"invariance contract.")
         if not cfg.fused_estep and self.N > _SLOW_PATH_WARN_N:
             logger.warning(
                 f"N={self.N}: chunk geometry (chunk_size={chunk_size}, "

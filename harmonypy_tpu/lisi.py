@@ -406,6 +406,18 @@ def compute_lisi(
     n_neighbors = int(perplexity * 3) - 1
     multi = mesh is not None and int(mesh.devices.size) > 1
     dist = None
+    if knn == "pruned" and multi:
+        # The pruned index is single-device: a forced knn='pruned' on a
+        # multi-device mesh runs the whole N x d search replicated on one
+        # device — correct, but none of the mesh's memory or speedup. Say
+        # so rather than silently ignoring the mesh (auto 'exact' mode
+        # already prefers the query-sharded brute path here).
+        import logging
+        logging.getLogger("harmonypy_tpu").warning(
+            "knn='pruned' with a %d-device mesh: the pruned exact search "
+            "is single-device and will run replicated on one device; use "
+            "knn='exact' for the mesh-sharded exact path.",
+            int(mesh.devices.size))
     if knn == "pruned" or (knn == "exact" and not subset and not multi
                            and n_cells >= _PRUNED_MIN_N):
         # Pruned search answers every row at once; mesh runs keep the

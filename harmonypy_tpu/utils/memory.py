@@ -179,6 +179,18 @@ def check_capacity(cfg: EngineConfig, mesh) -> None:
         if n <= cfg.n_devices:
             continue
         cfg_n = dataclasses.replace(cfg, n_devices=n)
+        if cfg_n.use_pallas:
+            # The Pallas kernel is single-device-only; on n devices the
+            # engine would run the fused-XLA E-step (or the per-cell path
+            # if the chunk geometry no longer holds), so model THAT config
+            # — its XLA slabs included — rather than an envelope the
+            # engine cannot actually execute.
+            from ..config import fused_geometry_ok as _fok
+            fok = _fok(cfg.N, n, cfg.block_size, cfg.chunk_size)
+            if cfg.defer_r and not fok:
+                continue  # deferred-R needs the fused path; n can't run it
+            cfg_n = dataclasses.replace(cfg_n, use_pallas=False,
+                                        use_fused_xla=fok)
         if memory_envelope(cfg_n)["total"] <= budget:
             remedies.append(
                 f"run on >= {n} devices (pass a {n}-device mesh): modeled "

@@ -25,7 +25,14 @@ jax.config.update("jax_enable_x64", True)
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
-REF_DATA = os.environ.get("HARMONYPY_REF_DATA", "/root/reference/data")
+# Fixture resolution: explicit env var first, else the fixtures bundled in
+# the package (harmonypy_tpu/data — a fresh clone passes the golden tier
+# with no env vars), else the reference checkout on the dev box.
+from harmonypy_tpu import data as _pkg_data  # noqa: E402
+
+REF_DATA = (os.environ.get("HARMONYPY_REF_DATA")
+            or (_pkg_data.DIR if os.path.isdir(_pkg_data.DIR)
+                else "/root/reference/data"))
 
 
 @pytest.fixture(scope="session")

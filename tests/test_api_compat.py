@@ -48,3 +48,31 @@ def test_slow_path_warning(monkeypatch, caplog):
                             chunk_size=4096)
     assert not ho.cfg.fused_estep
     assert any("fused E-step" in r.message for r in caplog.records)
+
+
+def test_per_cell_invariance_notice(caplog):
+    # VERDICT r3 #4: a config landing on the per-cell path must tell the
+    # user its results carry the weaker (~1e-5 mesh-invariant) contract,
+    # not the fused path's bitwise device-count invariance.
+    X, meta = _problem(n_cells=300)
+    with caplog.at_level(logging.INFO, logger="harmonypy_tpu"):
+        ho = hm.run_harmony(X, meta, ["donor"], mesh=make_mesh(n_devices=1),
+                            verbose=False, max_iter_harmony=1,
+                            chunk_size=4096)
+    assert not ho.cfg.fused_estep
+    assert any("not bitwise" in r.message for r in caplog.records)
+
+
+def test_lisi_pruned_mesh_warning(caplog):
+    # ADVICE r3: forced knn='pruned' on a >1-device mesh runs the search
+    # replicated on one device — it must announce that, not silently
+    # ignore the mesh.
+    import numpy as np
+    from harmonypy_tpu.lisi import compute_lisi
+    rng = np.random.default_rng(0)
+    X = rng.standard_normal((400, 8)).astype(np.float32)
+    meta = pd.DataFrame({"donor": (np.arange(400) % 3).astype(str)})
+    mesh = make_mesh(n_devices=2)
+    with caplog.at_level(logging.WARNING, logger="harmonypy_tpu"):
+        compute_lisi(X, meta, ["donor"], knn="pruned", mesh=mesh)
+    assert any("single-device" in r.message for r in caplog.records)
