@@ -282,7 +282,50 @@ def _accuracy_gates(budget_s: float | None = None) -> dict:
                                         "benchmarks"))
         from knn_recall import measure
         res.update(measure())
+    if time.time() - t_start < budget_s:
+        res.update(_seeding_gate())
     return res
+
+
+def _seeding_gate(S: int = 65_536, d: int = 29, K: int = 100,
+                  seed: int = 0) -> dict:
+    """On-device seeding-quality gate (ADVICE r3): k-means|| oversampling
+    selects candidates with the TPU's approximate top-k (per-tile recall
+    0.95); on CPU that operator lowers to an exact sort, so the test suite
+    cannot observe the real PartialReduce's effect on seeding. Run the SAME
+    seeding + Lloyd with the approximate and the exact lax.top_k selection
+    on the bench backend and compare the resulting k-means potentials
+    (mean squared distance to the nearest center): approximate selection is
+    just extra sampling noise in a randomized draw, so the potentials must
+    agree within a few percent."""
+    import jax
+    import jax.numpy as jnp
+    from harmonypy_tpu.config import EngineConfig
+    from harmonypy_tpu.ops.kmeans import _kmeansbb_seed, _lloyd, _sq_norms
+
+    cfg = EngineConfig(N=S, d=d, K=K, B=3, n_devices=1)
+    rng = np.random.default_rng(seed)
+    centers_true = (rng.standard_normal((d, K)) * 2.0).astype(np.float32)
+    g = rng.integers(0, K, S)
+    X = jnp.asarray(centers_true[:, g]
+                    + rng.standard_normal((d, S)).astype(np.float32))
+
+    def potential(exact: bool) -> float:
+        @jax.jit
+        def run(key, Xd):
+            C = _lloyd(_kmeansbb_seed(key, Xd, cfg, exact_topk=exact),
+                       Xd, cfg)
+            sc = _sq_norms(C)[:, None] - 2.0 * (C.T @ Xd)
+            return jnp.mean(jnp.min(sc, axis=0) + _sq_norms(Xd))
+        return float(run(jax.random.PRNGKey(seed), X))
+
+    p_approx = potential(False)
+    p_exact = potential(True)
+    ratio = p_approx / max(p_exact, 1e-30)
+    return {"seeding_potential_approx": round(p_approx, 5),
+            "seeding_potential_exact": round(p_exact, 5),
+            "seeding_potential_ratio": round(ratio, 4),
+            "seeding_ok": bool(ratio <= 1.05)}
 
 
 def _profile_phases(cfg, mesh, data, params, elapsed, iters, total_rounds):

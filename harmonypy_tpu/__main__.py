@@ -41,6 +41,9 @@ def _add_correct(sub):
     p.add_argument("--max-iter-kmeans", type=int, default=20)
     p.add_argument("--random-state", type=int, default=0)
     p.add_argument("--checkpoint-dir", default=None)
+    p.add_argument("--device", default=None,
+                   help="JAX platform string (e.g. tpu, cpu, tpu:0); "
+                        "default = the default JAX backend's devices")
     p.add_argument("--quiet", action="store_true")
     p.add_argument("--coordinator", default=None,
                    help="multi-host: coordinator address for "
@@ -72,6 +75,9 @@ def _add_lisi(sub):
     p.add_argument("--knn-recall", type=float, default=0.95,
                    help="per-tile recall target for --knn approx "
                         "(0 < r <= 1; higher = more accurate, slower)")
+    p.add_argument("--device", default=None,
+                   help="JAX platform string (e.g. tpu, cpu); the search "
+                        "is parallelized over all devices of the platform")
     p.add_argument("--out", default=None, help="output TSV (default: stdout)")
 
 
@@ -102,10 +108,14 @@ def main(argv=None):
         X = load_matrix(args.x)
         meta = pd.read_csv(args.meta, sep="\t")
         labels = args.labels.split(",")
+        mesh = None
+        if args.device is not None:
+            from .parallel.mesh import default_mesh
+            mesh = default_mesh(args.device)
         t0 = time.time()
         out = compute_lisi(X, meta, labels, perplexity=args.perplexity,
                            sample=args.sample, knn=args.knn,
-                           knn_recall_target=args.knn_recall)
+                           knn_recall_target=args.knn_recall, mesh=mesh)
         if isinstance(out, tuple):
             lisi, qidx = out
             df = pd.DataFrame(lisi, columns=labels)
@@ -139,6 +149,7 @@ def main(argv=None):
         max_iter_kmeans=args.max_iter_kmeans,
         random_state=args.random_state,
         checkpoint_dir=args.checkpoint_dir,
+        device=args.device,
         verbose=not args.quiet,
     )
     if jax.process_index() == 0:

@@ -156,7 +156,8 @@ def _knn_impl(Q: jnp.ndarray, X: jnp.ndarray, n_neighbors: int,
 _knn = jax.jit(_knn_impl, static_argnums=(2, 3, 4))
 
 
-def _knn_pruned(X, n_neighbors: int, qid, visit: int | None = None):
+def _knn_pruned(X, n_neighbors: int, qid, visit: int | None = None,
+                mesh=None):
     """Exact full-N kNN via sub-quadratic pruned search (ops/knn_pruned.py)
     with a brute-force fallback for uncertified queries — exact for every
     row by construction. Returns (dist, idx) after the self-drop, or None
@@ -177,7 +178,7 @@ def _knn_pruned(X, n_neighbors: int, qid, visit: int | None = None):
     if (V * index.p_max * index.p_max * 4 > 600e6     # (P, V*P) slab cap
             or n_neighbors + 1 > V * index.p_max):
         return None
-    res = pruned_knn(X, n_neighbors, visit=visit, index=index)
+    res = pruned_knn(X, n_neighbors, visit=visit, index=index, mesh=mesh)
     if res is None:                                   # probe bail
         return None
     dist, idx, cert = res
@@ -356,13 +357,14 @@ def compute_lisi(
     given, the return type is a stable (values, query_indices) pair — even
     if sample >= N, in which case indices are arange(N).
 
-    mesh: optional jax.sharding.Mesh — shard the queries over the mesh's
-    cells axis (reference set replicated; no collectives, so values are
-    bitwise identical to the single-device computation).
+    mesh: optional jax.sharding.Mesh — parallelize the search over the
+    mesh: the brute force shards the queries (no collectives), the pruned
+    search shards the per-cluster scan (disjoint-row psum merge); either
+    way the values are bitwise identical to the single-device computation.
 
     knn: "exact" (default — same neighbor sets as the reference) picks the
     fastest exact algorithm: the tiled brute force, or — when querying
-    every cell of a large (>= 100k) problem on one device — the
+    every cell of a large (>= 100k) problem single-process — the
     sub-quadratic cluster-pruned search (ops/knn_pruned.py), whose
     per-query certificate + brute-force fallback makes it exact for every
     row. "brute" / "pruned" force one algorithm (pruned still falls back
@@ -406,24 +408,23 @@ def compute_lisi(
     n_neighbors = int(perplexity * 3) - 1
     multi = mesh is not None and int(mesh.devices.size) > 1
     dist = None
-    if knn == "pruned" and multi:
-        # The pruned index is single-device: a forced knn='pruned' on a
-        # multi-device mesh runs the whole N x d search replicated on one
-        # device — correct, but none of the mesh's memory or speedup. Say
-        # so rather than silently ignoring the mesh (auto 'exact' mode
-        # already prefers the query-sharded brute path here).
+    # Single-process meshes shard the pruned per-cluster scan (bitwise equal
+    # to the single-device scan — ops/knn_pruned._mesh_batch_fn); on a
+    # multi-PROCESS run the index would need global arrays, so the sharded
+    # brute force stays the mesh path there.
+    mesh_prune = (mesh if multi and jax.process_count() == 1 else None)
+    if knn == "pruned" and multi and mesh_prune is None:
         import logging
         logging.getLogger("harmonypy_tpu").warning(
-            "knn='pruned' with a %d-device mesh: the pruned exact search "
-            "is single-device and will run replicated on one device; use "
-            "knn='exact' for the mesh-sharded exact path.",
-            int(mesh.devices.size))
-    if knn == "pruned" or (knn == "exact" and not subset and not multi
+            "knn='pruned' across %d processes: the pruned exact search "
+            "runs per-process on one device; use knn='exact' for the "
+            "mesh-sharded exact path.", jax.process_count())
+    if knn == "pruned" or (knn == "exact" and not subset
+                           and (not multi or mesh_prune is not None)
                            and n_cells >= _PRUNED_MIN_N):
-        # Pruned search answers every row at once; mesh runs keep the
-        # query-sharded brute force (per-query exact either way).
         res = _knn_pruned(Xd, n_neighbors,
-                          jnp.arange(n_cells, dtype=jnp.int32))
+                          jnp.arange(n_cells, dtype=jnp.int32),
+                          mesh=mesh_prune)
         if res is not None:
             dist, idx = res
             if subset:  # forced pruned mode: keep only the sampled rows

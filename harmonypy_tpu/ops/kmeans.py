@@ -96,10 +96,17 @@ def _kmeanspp_seed(key, X, cfg: EngineConfig):
     return centers
 
 
-def _kmeansbb_seed(key, X, cfg: EngineConfig):
+def _kmeansbb_seed(key, X, cfg: EngineConfig, exact_topk: bool = False):
     """k-means|| seeding (Bahmani et al., VLDB 2012) on a replicated sample.
 
-    X: (d, S) replicated; returns (d, K)."""
+    X: (d, S) replicated; returns (d, K).
+
+    exact_topk: select oversampling candidates with the exact lax.top_k
+    instead of the TPU's approximate operator — NOT used in production
+    (the exact sort lowering costs ~12 s of XLA compile at S=131k); it
+    exists so the bench accuracy gates can measure on hardware that the
+    approximate selection does not degrade seeding quality (the CPU test
+    suite can't see this: approx_max_k lowers to an exact sort there)."""
     d, S = X.shape
     K = cfg.K
     M = cfg.kmeansbb_oversample * K
@@ -131,7 +138,10 @@ def _kmeansbb_seed(key, X, cfg: EngineConfig):
         # ~12 s of XLA compile at S=131k vs 0.5 s for this (measured; sort
         # compile dominates the whole fit program's compile time otherwise).
         scores = _safe_log(d2) + jax.random.gumbel(kr, (S,), jnp.float32)
-        _, sel = lax.approx_max_k(scores, M)
+        if exact_topk:
+            _, sel = lax.top_k(scores, M)
+        else:
+            _, sel = lax.approx_max_k(scores, M)
         new_c = X[:, sel]                                       # (d, M)
         C = lax.dynamic_update_slice(C, new_c, (jnp.int32(0), 1 + r * M))
         d2 = jnp.minimum(d2, jnp.min(cand_d2(new_c), axis=0))

@@ -183,29 +183,31 @@ def _cluster_neighbors(cent, V: int):
     return nbrs
 
 
-@functools.partial(jax.jit, static_argnums=(3, 4, 5), donate_argnums=(6,))
-def _query_batch(index: PrunedIndex, cids, nbrs, k: int, V: int, p_max: int,
-                 out):
+def _scan_clusters(index: PrunedIndex, cids, nbrs, k: int, V: int,
+                   p_max: int, out):
     """Answer all queries owned by the clusters in `cids` (one scan step per
     cluster), merging rows into the carried output arrays.
 
     out = (dist (N + P_max, k), idx (N + P_max, k), cert (N + P_max,)).
     Rows of distinct clusters are disjoint, so batching order is
-    irrelevant to the values.
+    irrelevant to the values. Sentinel cluster ids (< 0) are skipped —
+    the mesh path pads its per-shard id slices with them.
     """
     Xs, sqs, ids, starts, counts, cent, radii = index[:7]
     C, d = cent.shape
     csq = jnp.sum(cent * cent, axis=1)
     slot = jnp.arange(p_max, dtype=jnp.int32)
 
-    def one_cluster(out, ci):
+    def one_cluster(out, ci_raw):
         dist_o, idx_o, cert_o = out
+        live = ci_raw >= 0
+        ci = jnp.maximum(ci_raw, 0)
         start, cnt = starts[ci], counts[ci]
         z = jnp.zeros((), start.dtype)
         Q = lax.dynamic_slice(Xs, (start, z), (p_max, d))
         qsq = lax.dynamic_slice(sqs, (start,), (p_max,))
         qid = lax.dynamic_slice(ids, (start,), (p_max,))
-        row_valid = slot < cnt
+        row_valid = (slot < cnt) & live
 
         nb = nbrs[ci]                                          # (V,)
         g = lambda arr, s: lax.dynamic_slice(arr, (s, z), (p_max, d))
@@ -255,10 +257,52 @@ def _query_batch(index: PrunedIndex, cids, nbrs, k: int, V: int, p_max: int,
     return out
 
 
+_query_batch = functools.partial(jax.jit, static_argnums=(3, 4, 5),
+                                 donate_argnums=(6,))(_scan_clusters)
+
+
+@functools.lru_cache(maxsize=8)
+def _mesh_batch_fn(mesh, k: int, V: int, p_max: int):
+    """Jitted shard_map for the mesh-parallel cluster scan: the index is
+    replicated (it is the d-dimensional input embedding plus O(C) tables,
+    never a K x N state array), the cluster-id slice is sharded over the
+    mesh axis, and each shard scans only its clusters into zero-initialized
+    buffers. Rows of distinct clusters are disjoint, so the psum merging
+    the shards adds exact zeros everywhere — the merged values are BITWISE
+    identical to the single-device scan (the same frame argument as
+    ops/partition.py)."""
+    from jax.sharding import PartitionSpec as P
+    axis = mesh.axis_names[0]
+
+    def shard_fn(Xs, sqs, ids, starts, counts, cent, radii, scale,
+                 cids_local, nbrs):
+        index = PrunedIndex(Xs, sqs, ids, starts, counts, cent, radii,
+                            p_max, scale)
+        Np = Xs.shape[0]
+        out0 = (jnp.zeros((Np, k), Xs.dtype),
+                jnp.zeros((Np, k), jnp.int32),
+                jnp.zeros((Np,), bool))
+        # The scan body's writes depend on the shard-varying cluster ids,
+        # so the (replicated-zero) init carry must be cast to varying for
+        # shard_map's manual-axes type check.
+        out0 = jax.tree.map(
+            lambda a: lax.pcast(a, (axis,), to="varying"), out0)
+        d_, i_, c_ = _scan_clusters(index, cids_local, nbrs, k, V, p_max,
+                                    out0)
+        return (lax.psum(d_, axis), lax.psum(i_, axis),
+                lax.psum(c_.astype(jnp.int32), axis))
+
+    return jax.jit(jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(),) * 8 + (P(axis), P()),
+        out_specs=(P(), P(), P())))
+
+
 def pruned_knn(X: jnp.ndarray, n_neighbors: int, visit: int = _DEFAULT_VISIT,
                n_clusters: int | None = None, seed: int = 0,
                index: PrunedIndex | None = None,
-               probe_min_cert: float | None = _PROBE_MIN_CERT):
+               probe_min_cert: float | None = _PROBE_MIN_CERT,
+               mesh=None):
     """kNN of every row of X against X, via the pruned index.
 
     Returns (dist (N, k), idx (N, k), cert (N,) bool) with k = n_neighbors
@@ -273,6 +317,11 @@ def pruned_knn(X: jnp.ndarray, n_neighbors: int, visit: int = _DEFAULT_VISIT,
     geometry (e.g. genuinely high-dimensional inputs, where EVERY exact
     method including the reference's kd-tree degrades to linear scans) and
     the caller should use the brute path directly. None disables probing.
+
+    mesh: optional jax.sharding.Mesh (single-process) — the per-cluster
+    scan is sharded over the mesh's first axis (the index stays
+    replicated); values are BITWISE identical to the single-device scan
+    (disjoint rows, psum adds exact zeros — see _mesh_batch_fn).
     """
     N, d = X.shape
     k = n_neighbors + 1
@@ -283,28 +332,49 @@ def pruned_knn(X: jnp.ndarray, n_neighbors: int, visit: int = _DEFAULT_VISIT,
     if k > V * index.p_max:  # cannot even hold k candidates
         raise ValueError(f"k={k} exceeds candidate capacity "
                          f"{V}*{index.p_max}")
+    n_dev = 0 if mesh is None else int(mesh.devices.size)
+    use_mesh = n_dev > 1 and jax.process_count() == 1
     nbrs = _cluster_neighbors(index.centroids, V)
     Np = N + index.p_max
-    out = (jnp.zeros((Np, k), X.dtype), jnp.full((Np, k), -1, jnp.int32),
-           jnp.zeros((Np,), bool))
     cb = min(_CLUSTER_BATCH, C)
 
-    def batch(cids_np, out):
-        cids = jnp.asarray(np.minimum(cids_np, C - 1), jnp.int32)
-        return _query_batch(index, cids, nbrs, k, V, index.p_max, out)
+    if use_mesh:
+        # Accumulate psum-merged per-dispatch deltas: every cluster is
+        # scanned exactly once (sentinel-padded ids), so rows are written
+        # exactly once across all dispatches and the adds merge exact
+        # zeros elsewhere.
+        fn = _mesh_batch_fn(mesh, k, V, index.p_max)
+        out = (jnp.zeros((Np, k), X.dtype), jnp.zeros((Np, k), jnp.int32),
+               jnp.zeros((Np,), jnp.int32))
+        step = cb * n_dev
 
-    for lo in range(0, C, cb):
-        out = batch(np.arange(lo, lo + cb), out)
-        if lo == 0 and probe_min_cert is not None and C > cb:
+        def batch(cids_np, out):
+            cids = jnp.asarray(np.where(cids_np < C, cids_np, -1), jnp.int32)
+            delta = fn(*index[:7], index.scale, cids, nbrs)
+            return tuple(a + b for a, b in zip(out, delta))
+    else:
+        out = (jnp.zeros((Np, k), X.dtype), jnp.full((Np, k), -1, jnp.int32),
+               jnp.zeros((Np,), bool))
+        step = cb
+
+        def batch(cids_np, out):
+            cids = jnp.asarray(np.minimum(cids_np, C - 1), jnp.int32)
+            return _query_batch(index, cids, nbrs, k, V, index.p_max, out)
+
+    for lo in range(0, C, step):
+        out = batch(np.arange(lo, lo + step), out)
+        if lo == 0 and probe_min_cert is not None and C > step:
             # The first batch doubles as a certification probe: cluster ids
-            # come from iid random centroid init, so clusters 0..cb are a
-            # random spatial sample. Bailing here skips ~ (C - cb) / C of
+            # come from iid random centroid init, so the first batch is a
+            # random spatial sample. Bailing here skips ~ (C - step) / C of
             # the work on geometries where pruning cannot pay.
             n_cert = float(jnp.sum(out[2]))
-            n_probe = float(jnp.sum(index.counts[:cb]))
+            n_probe = float(jnp.sum(index.counts[:step]))
             if n_probe > 0 and n_cert / n_probe < probe_min_cert:
                 return None
     dist_s, idx_s, cert_s = out
+    if use_mesh:
+        cert_s = cert_s.astype(bool)
     # Back to original row order: sorted row j holds query ids[j].
     inv = jnp.zeros((N,), jnp.int32).at[index.ids[:N]].set(
         jnp.arange(N, dtype=jnp.int32))

@@ -63,16 +63,16 @@ def test_per_cell_invariance_notice(caplog):
     assert any("not bitwise" in r.message for r in caplog.records)
 
 
-def test_lisi_pruned_mesh_warning(caplog):
-    # ADVICE r3: forced knn='pruned' on a >1-device mesh runs the search
-    # replicated on one device — it must announce that, not silently
-    # ignore the mesh.
+def test_lisi_pruned_mesh_matches_single():
+    # ADVICE r3 follow-through: knn='pruned' with a single-process mesh now
+    # SHARDS the per-cluster scan instead of ignoring the mesh; the values
+    # must equal the meshless pruned run (bitwise scan, same fallback).
     import numpy as np
     from harmonypy_tpu.lisi import compute_lisi
     rng = np.random.default_rng(0)
     X = rng.standard_normal((400, 8)).astype(np.float32)
     meta = pd.DataFrame({"donor": (np.arange(400) % 3).astype(str)})
-    mesh = make_mesh(n_devices=2)
-    with caplog.at_level(logging.WARNING, logger="harmonypy_tpu"):
-        compute_lisi(X, meta, ["donor"], knn="pruned", mesh=mesh)
-    assert any("single-device" in r.message for r in caplog.records)
+    l1 = compute_lisi(X, meta, ["donor"], knn="pruned")
+    l2 = compute_lisi(X, meta, ["donor"], knn="pruned",
+                      mesh=make_mesh(n_devices=2))
+    np.testing.assert_array_equal(l1, l2)

@@ -72,3 +72,19 @@ def test_harmony_integrate_helper():
                            verbose=False, max_iter_harmony=2)
     assert adata.obsm["X_pca_harmony"].shape == X.shape
     np.testing.assert_array_equal(adata.obsm["X_pca_harmony"], ho.Z_corr)
+
+
+def test_cli_device_flag(files):
+    """--device selects the platform on both subcommands (round-4 addition:
+    run_harmony always had device=; the CLI now exposes it)."""
+    d, pcs, meta, X = files
+    out = str(d / "corrected_dev.npy")
+    cli_main(["correct", "--pcs", pcs, "--meta", meta, "--vars", "donor",
+              "--out", out, "--max-iter-harmony", "1", "--quiet",
+              "--device", "cpu"])
+    assert np.load(out).shape == X.shape
+    out2 = str(d / "lisi_dev.tsv")
+    cli_main(["lisi", "--x", out, "--meta", meta, "--labels", "donor",
+              "--device", "cpu", "--out", out2])
+    la = pd.read_csv(out2, sep="\t")
+    assert la.shape[0] == X.shape[0]

@@ -295,3 +295,32 @@ def test_kmeansbb_quality_at_production_scale_ratio():
     # harmony iteration the gap must be within 1%.
     assert o0_sub < o0_full * 1.02, (o0_sub, o0_full)
     assert o1_sub < o1_full * 1.01, (o1_sub, o1_full)
+
+
+def test_kmeansbb_exact_topk_variant_matches():
+    """The exact-top-k seeding variant (bench.py seeding-quality gate,
+    ADVICE r3) is wired correctly: on CPU lax.approx_max_k lowers to an
+    exact sort, so both selections pick the same candidates and the
+    post-Lloyd potentials must agree to float noise. (The gate's real
+    content — the PartialReduce operator's effect — is measured on TPU by
+    bench._seeding_gate.)"""
+    import jax
+    import jax.numpy as jnp
+    from harmonypy_tpu.config import EngineConfig
+    from harmonypy_tpu.ops.kmeans import _kmeansbb_seed, _lloyd, _sq_norms
+
+    S, d, K = 4096, 8, 16
+    cfg = EngineConfig(N=S, d=d, K=K, B=3, n_devices=1)
+    rng = np.random.default_rng(0)
+    centers = (rng.standard_normal((d, K)) * 2.0).astype(np.float32)
+    X = jnp.asarray(centers[:, rng.integers(0, K, S)]
+                    + rng.standard_normal((d, S)).astype(np.float32))
+
+    def potential(exact):
+        C = _lloyd(_kmeansbb_seed(jax.random.PRNGKey(0), X, cfg,
+                                  exact_topk=exact), X, cfg)
+        sc = _sq_norms(C)[:, None] - 2.0 * (C.T @ X)
+        return float(jnp.mean(jnp.min(sc, axis=0) + _sq_norms(X)))
+
+    p_a, p_e = potential(False), potential(True)
+    assert abs(p_a - p_e) <= 0.01 * p_e, (p_a, p_e)

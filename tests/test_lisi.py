@@ -273,3 +273,25 @@ def test_lisi_approx_close_to_exact():
     assert np.mean(np.abs(exact - full)) < 0.05
     with pytest.raises(ValueError, match="knn_recall_target"):
         hm.compute_lisi(X, meta, ["b"], knn="approx", knn_recall_target=0.0)
+
+
+def test_pruned_knn_mesh_sharded_bitwise():
+    """The mesh-parallel pruned scan (clusters sharded over the mesh,
+    disjoint-row psum merge) returns BITWISE the same (dist, idx, cert) as
+    the single-device scan — the sharding only changes which device answers
+    which cluster, never the per-cluster math (ops/knn_pruned
+    ._mesh_batch_fn)."""
+    import jax.numpy as jnp
+    from harmonypy_tpu.parallel.mesh import make_mesh
+    from harmonypy_tpu.ops.knn_pruned import (build_index,
+                                              default_n_clusters, pruned_knn)
+    rng = np.random.default_rng(7)
+    X = _blobby(rng, 4000, 2)
+    Xd = jnp.asarray(X)
+    index = build_index(Xd, default_n_clusters(4000, 30))
+    d1, i1, c1 = pruned_knn(Xd, 29, index=index, probe_min_cert=None)
+    d8, i8, c8 = pruned_knn(Xd, 29, index=index, probe_min_cert=None,
+                            mesh=make_mesh(n_devices=8))
+    np.testing.assert_array_equal(np.asarray(d1), np.asarray(d8))
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i8))
+    np.testing.assert_array_equal(np.asarray(c1), np.asarray(c8))
