@@ -110,13 +110,18 @@ def bench_small(results):
                                   min_pearson_r=min_r(hf.Z_corr))
 
 
-def bench_medium(results):
+def bench_medium(results, lisi_sample=None):
     """69k-cell tier with a cross-implementation ACCURACY gate: the installed
     torch reference runs the same data to full convergence; we report mean
     iLISI / cLISI for both and per-PC correlation (VERDICT r1 #4; the north
     star is quality parity — our engine may descend the shared objective
     further and mix better, never worse). Set MEDIUM_NO_REF=1 to skip the
-    reference run (it is CPU-bound, minutes)."""
+    reference run (it is CPU-bound, minutes).
+
+    lisi_sample: evaluate the LISI gates at this many sampled query cells
+    instead of all 69k (same random_state on both sides, so ours and the
+    reference are compared at the SAME queries) — used by the slow-tier
+    test alias (tests/test_vs_reference.py) to bound CPU cost."""
     import harmonypy_tpu as hm
     X, meta = _synthetic(69_000, 50)
     ho, dt = _timed(lambda: hm.run_harmony(X, meta, ["batch"], verbose=False))
@@ -136,10 +141,19 @@ def bench_medium(results):
         ref_dt = time.time() - t0
     finally:
         sys.path.remove(ref_pkg)
-    il_ours = float(hm.compute_lisi(ho.Z_corr, meta, ["batch"]).mean())
-    il_ref = float(hm.compute_lisi(ref.Z_corr, meta, ["batch"]).mean())
-    cl_ours = float(hm.compute_lisi(ho.Z_corr, meta, ["group"]).mean())
-    cl_ref = float(hm.compute_lisi(ref.Z_corr, meta, ["group"]).mean())
+
+    def _mean_lisi(Z, col):
+        if lisi_sample:
+            vals, _ = hm.compute_lisi(Z, meta, [col], sample=int(lisi_sample),
+                                      random_state=0)
+        else:
+            vals = hm.compute_lisi(Z, meta, [col])
+        return float(np.asarray(vals).mean())
+
+    il_ours = _mean_lisi(ho.Z_corr, "batch")
+    il_ref = _mean_lisi(ref.Z_corr, "batch")
+    cl_ours = _mean_lisi(ho.Z_corr, "group")
+    cl_ref = _mean_lisi(ref.Z_corr, "group")
     cors = [float(np.corrcoef(ref.Z_corr[:, i], ho.Z_corr[:, i])[0, 1])
             for i in range(X.shape[1])]
     results["medium"].update(

@@ -506,30 +506,8 @@ class Harmony:
         return self._cells(self.state.R.astype(jax.numpy.float32))
 
     def _materialize_r(self) -> np.ndarray:
-        """Page the replayed R to the host: one dispatch per chunk window,
-        device peak ~ width * chunk_size * K floats per shard."""
-        cfg = self.cfg
-        from .ops.partition import partition_geometry
-        geom = partition_geometry(cfg)
-        D, CH, K = cfg.n_devices, geom.CH, cfg.K
-        width = max(1, min(geom.nc_cap,
-                           int(64 * 1024 * 1024 // max(CH * K, 1))))
-        fn = self._engine.r_window_fn(width)
-        out = np.zeros((K, cfg.N_pad), np.float32)
-        for lo in range(0, geom.nc_cap, width):
-            Rw = fn(self.state, self._data, self._params, jax.numpy.int32(lo))
-            if getattr(Rw, "is_fully_addressable", True) is False:
-                from jax.experimental import multihost_utils
-                Rw = multihost_utils.process_allgather(Rw, tiled=True)
-            Rw = np.asarray(Rw).astype(np.float32)
-            # Global rows: shard s's window chunks live at s*width + w.
-            for s in range(D):
-                for w in range(min(width, geom.nc_cap - lo)):
-                    c = lo + w
-                    cell0 = s * cfg.N_local + c * CH
-                    out[:, cell0: cell0 + CH] = Rw[s * width + w]
-        from .parallel.sharding import unpad_cells
-        return unpad_cells(out, cfg).T
+        return materialize_r(self._engine, self.cfg, self.state,
+                             self._data, self._params)
 
     @property
     def Y(self):
@@ -576,3 +554,34 @@ class Harmony:
     def result(self):
         """Corrected data as a NumPy array (N x d)."""
         return self.Z_corr
+
+
+def materialize_r(engine, cfg, state, data, params) -> np.ndarray:
+    """Page a deferred-R fit's soft assignments to the host: replay the
+    final E-step round in bounded chunk windows (never K x N on device),
+    one dispatch per window; device peak ~ width * chunk_size * K floats
+    per shard. Works on any mesh — non-addressable windows (multi-process
+    runs) are gathered collectively, so every process must call this
+    together (Harmony.R does). Module-level so the multi-host smoke drives
+    the exact code path the Harmony.R property uses."""
+    from .ops.partition import partition_geometry
+    geom = partition_geometry(cfg)
+    D, CH, K = cfg.n_devices, geom.CH, cfg.K
+    width = max(1, min(geom.nc_cap,
+                       int(64 * 1024 * 1024 // max(CH * K, 1))))
+    fn = engine.r_window_fn(width)
+    out = np.zeros((K, cfg.N_pad), np.float32)
+    for lo in range(0, geom.nc_cap, width):
+        Rw = fn(state, data, params, jax.numpy.int32(lo))
+        if getattr(Rw, "is_fully_addressable", True) is False:
+            from jax.experimental import multihost_utils
+            Rw = multihost_utils.process_allgather(Rw, tiled=True)
+        Rw = np.asarray(Rw).astype(np.float32)
+        # Global rows: shard s's window chunks live at s*width + w.
+        for s in range(D):
+            for w in range(min(width, geom.nc_cap - lo)):
+                c = lo + w
+                cell0 = s * cfg.N_local + c * CH
+                out[:, cell0: cell0 + CH] = Rw[s * width + w]
+    from .parallel.sharding import unpad_cells
+    return unpad_cells(out, cfg).T

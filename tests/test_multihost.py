@@ -18,6 +18,6 @@ def test_multihost_smoke():
     # Fresh processes: the script must control backend init itself.
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "tools", "multihost_smoke.py")],
-        env=env, capture_output=True, text=True, timeout=570)
+        env=env, capture_output=True, text=True, timeout=1100)
     assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-2000:]
     assert "MULTIHOST SMOKE OK" in out.stdout

@@ -56,14 +56,17 @@ def make_data(tmp):
     return pcs, meta
 
 
-def worker(pid: int, tmp: str):
-    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
-                               + " --xla_force_host_platform_device_count=4")
+def worker(pid: int, tmp: str, nproc: int = 2):
+    # 8 global devices split across nproc processes (2-proc full suite;
+    # 4-proc deferred-only topology check — VERDICT r3 #9).
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + f" --xla_force_host_platform_device_count={8 // nproc}")
     import jax
     jax.config.update("jax_platforms", "cpu")
-    jax.distributed.initialize(f"localhost:{PORT}", num_processes=2,
+    jax.distributed.initialize(f"localhost:{PORT}", num_processes=nproc,
                                process_id=pid)
-    assert jax.process_count() == 2, jax.process_count()
+    assert jax.process_count() == nproc, jax.process_count()
     assert len(jax.devices()) == 8, len(jax.devices())
 
     import numpy as np
@@ -105,6 +108,23 @@ def worker(pid: int, tmp: str):
     Z_corr = unpad_cells(
         np.asarray(multihost_utils.process_allgather(state.Z_corr,
                                                      tiled=True)), cfg).T
+
+    # Deferred .R materialization ACROSS the cluster (VERDICT r3 #9): the
+    # paged replay windows are non-addressable here, so materialize_r's
+    # collective allgather path runs for real — the exact code the
+    # Harmony.R property uses. Every process participates.
+    from harmonypy_tpu.api import materialize_r
+    R_multi = materialize_r(engine, cfg, state, data, params)
+    suffix = "" if nproc == 2 else str(nproc)
+    if pid == 0:
+        np.save(os.path.join(tmp, f"multi{suffix}_R.npy"), R_multi)
+
+    if nproc != 2:
+        # Minimal topology variant: deferred fit + replay only.
+        if pid == 0:
+            np.save(os.path.join(tmp, f"multi{suffix}.npy"), Z_corr)
+        jax.distributed.shutdown()
+        return
 
     # Checkpoint + resume ACROSS the 2-process cluster: save_state gathers
     # non-addressable leaves collectively and writes from process 0 only;
@@ -191,6 +211,8 @@ def single(tmp: str):
                         verbose=False, max_iter_harmony=3, chunk_size=128)
     assert ho.cfg.use_fused_xla and ho.cfg.defer_r  # the library default
     np.save(os.path.join(tmp, "single.npy"), ho.Z_corr)
+    # Deferred .R via the property (paged replay, single process).
+    np.save(os.path.join(tmp, "single_R.npy"), ho.R)
 
     hs = hm.run_harmony(X, meta, ["donor"], mesh=make_mesh(n_devices=8),
                         verbose=False, max_iter_harmony=2, chunk_size=128,
@@ -216,6 +238,19 @@ def main():
     try:
         codes = [p.wait(timeout=400) for p in procs]
         assert codes == [0, 0], codes
+        # 4-process topology (2 devices each): deferred fit + .R replay
+        # only — same 8-device global mesh, different process boundaries.
+        env4 = {**env, "MULTIHOST_SMOKE_PORT": str(PORT + 1)}
+        procs4 = [subprocess.Popen(
+            [sys.executable, __file__, "--worker", str(pid), tmp, "4"],
+            env=env4) for pid in range(4)]
+        try:
+            codes4 = [p.wait(timeout=400) for p in procs4]
+        finally:
+            for p in procs4:
+                if p.poll() is None:
+                    p.kill()
+        assert codes4 == [0, 0, 0, 0], codes4
         subprocess.run([sys.executable, __file__, "--single", tmp],
                        env=env, check=True, timeout=240)
         _check(tmp)
@@ -238,6 +273,23 @@ def _check(tmp: str):
     np.testing.assert_array_equal(multi, single_)
     print("multi-host vs single-process (fused, deferred-R): bitwise equal")
 
+    # Deferred .R replay: cross-process paged materialization must be
+    # bitwise equal to the single-process Harmony.R property (fixed-frame
+    # replay reductions; allgather only moves bits).
+    m_r = np.load(os.path.join(tmp, "multi_R.npy"))
+    s_r = np.load(os.path.join(tmp, "single_R.npy"))
+    from harmonypy_tpu.config import default_nclust
+    assert m_r.shape == s_r.shape == (N, default_nclust(N))
+    np.testing.assert_array_equal(m_r, s_r)
+    print("deferred .R replay 2-proc vs single: bitwise equal")
+
+    # 4-process topology: same global mesh, different process boundaries.
+    m4 = np.load(os.path.join(tmp, "multi4.npy"))
+    np.testing.assert_array_equal(m4, single_)
+    m4_r = np.load(os.path.join(tmp, "multi4_R.npy"))
+    np.testing.assert_array_equal(m4_r, s_r)
+    print("deferred fit + .R replay 4-proc vs single: bitwise equal")
+
     mst = np.load(os.path.join(tmp, "multi_stored.npy"))
     sst = np.load(os.path.join(tmp, "single_stored.npy"))
     np.testing.assert_array_equal(mst, sst)
@@ -256,7 +308,8 @@ def _check(tmp: str):
 
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--worker":
-        worker(int(sys.argv[2]), sys.argv[3])
+        worker(int(sys.argv[2]), sys.argv[3],
+               int(sys.argv[4]) if len(sys.argv) > 4 else 2)
     elif len(sys.argv) > 1 and sys.argv[1] == "--single":
         single(sys.argv[2])
     else:
