@@ -69,10 +69,17 @@ def _build(n, mesh):
     return cfg, engine, data, params
 
 
-def aggregate_trace(trace_dir: str) -> dict[str, tuple[float, int]]:
-    """Sum 'X' (complete) event durations by name across every
-    .trace.json.gz under trace_dir. Returns {name: (total_us, calls)}."""
-    out: dict[str, tuple[float, int]] = {}
+def aggregate_trace(trace_dir: str) -> dict[str, dict]:
+    """Aggregate 'X' (complete) events by op name across every
+    .trace.json.gz under trace_dir. Returns
+    {name: {us, calls, bytes, category, long_name}}.
+
+    TPU device events carry args.device_duration_ps (preferred over the
+    wall 'dur'), args.hlo_category (e.g. 'convolution fusion' — where the
+    MXU dist GEMM lands — vs 'custom fusion'/'loop fusion' for VPU work),
+    and args.bytes_accessed (HBM traffic), so the summary can attribute
+    device time to MXU vs VPU and compute per-op achieved bandwidth."""
+    out: dict[str, dict] = {}
     for path in glob.glob(os.path.join(trace_dir, "**", "*.trace.json.gz"),
                           recursive=True):
         with gzip.open(path, "rt") as f:
@@ -81,13 +88,35 @@ def aggregate_trace(trace_dir: str) -> dict[str, tuple[float, int]]:
             if ev.get("ph") != "X":
                 continue
             name = ev.get("name", "?")
-            dur = float(ev.get("dur", 0.0))
-            t, c = out.get(name, (0.0, 0))
-            out[name] = (t + dur, c + 1)
+            args = ev.get("args") or {}
+            if "device_duration_ps" in args:
+                dur = float(args["device_duration_ps"]) / 1e6
+            else:
+                dur = float(ev.get("dur", 0.0))
+            rec = out.setdefault(name, {"us": 0.0, "calls": 0, "bytes": 0,
+                                        "category": args.get("hlo_category",
+                                                             ""),
+                                        "long_name": ""})
+            rec["us"] += dur
+            rec["calls"] += 1
+            rec["bytes"] += int(args.get("bytes_accessed", 0))
+            if not rec["long_name"] and "long_name" in args:
+                rec["long_name"] = str(args["long_name"])[:240]
     return out
 
 
 _GEMM_MARKERS = ("dot", "gemm", "matmul", "convolution", "cublas", "mxu")
+
+# Control-flow / dispatch containers whose duration INCLUDES their children
+# (counting them would double every real op).
+_CONTAINER_PREFIXES = ("while", "jit_", "jit__", "PjitFunction",
+                       "conditional", "call")
+
+
+def _is_container(name: str, category: str) -> bool:
+    return (name.split(".")[0] in ("while", "conditional", "call")
+            or name.startswith(_CONTAINER_PREFIXES)
+            or category in ("while", "conditional", "call"))
 
 # Host-side bookkeeping events (python frames, executor scheduling, the
 # readback) — excluded from the op ranking so device work dominates it.
@@ -109,55 +138,90 @@ def main():
                     help="also write the aggregate as JSON")
     ap.add_argument("--keep-trace", default=None,
                     help="trace dir to keep (TensorBoard-viewable)")
+    ap.add_argument("--from-trace", default=None,
+                    help="aggregate an EXISTING trace dir (no device run)")
     args = ap.parse_args()
 
-    import dataclasses
+    if args.from_trace:
+        tdir = args.from_trace
+        from harmonypy_tpu.config import EngineConfig, auto_chunk_size
 
-    import jax
+        cfg = EngineConfig(N=args.n, d=29, K=100, B=3, n_devices=1,
+                           use_fused_xla=True, defer_r=True,
+                           chunk_size=auto_chunk_size(args.n))
+        n_devices = 1
+    else:
+        import dataclasses
 
-    from harmonypy_tpu.parallel.mesh import make_mesh
+        import jax
 
-    mesh = make_mesh()
-    cfg, engine, data, params = _build(args.n, mesh)
-    # Pin the iteration to exactly `rounds` k-means rounds so the trace is
-    # dominated by the steady-state E-step (epsilon 0 disables early exit).
-    from harmonypy_tpu.engine import get_engine
-    cfg_r = dataclasses.replace(cfg, max_iter_kmeans=args.rounds,
-                                epsilon_kmeans=0.0, max_iter_harmony=1)
-    eng = get_engine(cfg_r, mesh)
-    key = jax.random.PRNGKey(0)
-    state = eng.init_fn(data, params, key)
-    # Warm (compile + first server-side exec) OUTSIDE the trace.
-    int(np.asarray(eng.iter_fn(state, data, params).n_rounds))
+        from harmonypy_tpu.parallel.mesh import make_mesh
 
-    tdir = args.keep_trace or tempfile.mkdtemp(prefix="harmony_trace_")
-    state = eng.init_fn(data, params, key)
-    int(np.asarray(state.n_kmeans))
-    jax.profiler.start_trace(tdir)
-    st = eng.iter_fn(state, data, params)
-    int(np.asarray(st.n_rounds))                     # real sync via readback
-    jax.profiler.stop_trace()
+        mesh = make_mesh()
+        cfg, engine, data, params = _build(args.n, mesh)
+        n_devices = int(mesh.devices.size)
+        # Pin the iteration to exactly `rounds` k-means rounds so the trace
+        # is dominated by the steady-state E-step (epsilon 0 disables early
+        # exit).
+        from harmonypy_tpu.engine import get_engine
+        cfg_r = dataclasses.replace(cfg, max_iter_kmeans=args.rounds,
+                                    epsilon_kmeans=0.0, max_iter_harmony=1)
+        eng = get_engine(cfg_r, mesh)
+        key = jax.random.PRNGKey(0)
+        state = eng.init_fn(data, params, key)
+        # Warm (compile + first server-side exec) OUTSIDE the trace.
+        int(np.asarray(eng.iter_fn(state, data, params).n_rounds))
+
+        tdir = args.keep_trace or tempfile.mkdtemp(prefix="harmony_trace_")
+        state = eng.init_fn(data, params, key)
+        int(np.asarray(state.n_kmeans))
+        jax.profiler.start_trace(tdir)
+        st = eng.iter_fn(state, data, params)
+        int(np.asarray(st.n_rounds))                 # real sync via readback
+        jax.profiler.stop_trace()
 
     agg = {k: v for k, v in aggregate_trace(tdir).items()
-           if not _is_host(k)}
-    rows = sorted(agg.items(), key=lambda kv: -kv[1][0])
-    total_us = sum(t for t, _ in agg.values())
-    gemm_us = sum(t for nm, (t, _) in agg.items()
-                  if any(m in nm.lower() for m in _GEMM_MARKERS))
+           if not _is_host(k) and not _is_container(k, v["category"])}
+    rows = sorted(agg.items(), key=lambda kv: -kv[1]["us"])
+    total_us = sum(v["us"] for v in agg.values())
+    total_bytes = sum(v["bytes"] for v in agg.values())
+    # MXU time = 'convolution fusion' category (the dist GEMM lands there on
+    # TPU) + anything GEMM-named; the rest is VPU/memory work.
+    mxu_us = sum(v["us"] for nm, v in agg.items()
+                 if "convolution" in v["category"]
+                 or any(m in nm.lower() for m in _GEMM_MARKERS))
+    by_cat: dict[str, list[float]] = {}
+    for v in agg.values():
+        c = by_cat.setdefault(v["category"] or "?", [0.0, 0.0])
+        c[0] += v["us"]
+        c[1] += v["bytes"]
     print(f"# trace dir: {tdir} | N={args.n} rounds={args.rounds} "
-          f"chunk={cfg.chunk_size} devices={int(mesh.devices.size)}")
-    print(f"# total traced op time {total_us / 1e3:.1f} ms | "
-          f"GEMM-named {gemm_us / 1e3:.1f} ms "
-          f"({100 * gemm_us / max(total_us, 1):.0f}%) | "
-          f"other {100 * (1 - gemm_us / max(total_us, 1)):.0f}%")
-    for name, (t, c) in rows[: args.top]:
-        print(f"{t / 1e3:10.2f} ms {c:6d}x  {name[:110]}")
+          f"chunk={cfg.chunk_size} devices={n_devices}")
+    # NOTE: bytes_accessed counts HLO operand bytes, including VMEM-resident
+    # reuse — an upper bound on DRAM traffic, so per-op 'GB/s' can exceed
+    # HBM peak (that excess itself signals the operand was VMEM-hot).
+    print(f"# device op time {total_us / 1e3:.1f} ms | MXU (conv-fusion/"
+          f"GEMM) {mxu_us / 1e3:.1f} ms ({100 * mxu_us / max(total_us, 1):.0f}%)"
+          f" | operand traffic {total_bytes / 1e9:.2f} GB "
+          f"-> {total_bytes / 1e3 / max(total_us, 1):.0f} GB/s "
+          f"(incl. VMEM reuse)")
+    print("# by hlo_category:")
+    for cat, (us, byt) in sorted(by_cat.items(), key=lambda kv: -kv[1][0]):
+        print(f"#   {us / 1e3:8.2f} ms  {byt / 1e9:6.2f} GB "
+              f"{byt / 1e3 / max(us, 1):5.0f} GB/s  {cat}")
+    for name, v in rows[: args.top]:
+        print(f"{v['us'] / 1e3:10.2f} ms {v['calls']:6d}x "
+              f"{v['bytes'] / 1e9:6.2f} GB  [{v['category']}] {name[:60]}")
+        if v["long_name"]:
+            print(f"              {v['long_name'][:150]}")
     if args.json:
         with open(args.json, "w") as f:
             json.dump({"n": args.n, "rounds": args.rounds,
-                       "total_us": total_us, "gemm_us": gemm_us,
-                       "ops": {k: {"us": v[0], "calls": v[1]}
-                               for k, v in rows}}, f, indent=1)
+                       "total_us": total_us, "mxu_us": mxu_us,
+                       "total_bytes": total_bytes,
+                       "by_category": {k: {"us": v[0], "bytes": v[1]}
+                                       for k, v in by_cat.items()},
+                       "ops": {k: v for k, v in rows}}, f, indent=1)
 
 
 if __name__ == "__main__":
