@@ -134,6 +134,24 @@ class EngineConfig:
     use_fused_xla: bool = False
     chunk_size: int = 2048
 
+    # Number of covariates whose one-hot blocks Phi concatenates (reference
+    # harmony.py:133). With ONE covariate every Phi column holds a single 1,
+    # so the fused E-step's entropy objective term factorizes log-free
+    # (ops/objective.chunk_objective_partials_fast); with several it falls
+    # back to the generic elementwise form. Value changes only which exact
+    # expression computes the same quantity — never the E-step itself.
+    n_covariates: int = 1
+
+    # Opt-in log-free objective partials (requires n_covariates == 1).
+    # Measured on v5e at 858k: deferred round 1.05 ms vs ~1.10 ms — but the
+    # factorized entropy differs from the elementwise form at ~1e-6
+    # relative, which REORDERS near-plateau k-means round counts (a fixed
+    # seed measured [16,19,11] vs [18,7,5] rounds — neither is more
+    # correct, but trajectories stop being comparable run-to-run across
+    # versions). Default off: strict elementwise reference-form objective;
+    # flip on when throughput matters more than trajectory continuity.
+    fast_objective: bool = False
+
     # Deferred-R (out-of-core) mode — the DEFAULT on the fused path: the
     # K x N soft-assignment matrix is NEVER materialized. R is write-only in
     # the fused E-step design (all statistics accumulate from in-flight

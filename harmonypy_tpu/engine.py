@@ -41,8 +41,9 @@ from .ops.pallas.update_r_fused import chunk_stats, fused_update_r
 from .ops.partition import (frame_sum, partition_geometry, round_tables,
                             shard_chunk_gids)
 from .ops.update_r_fused_xla import (fused_update_nor_xla3,
-                                     fused_update_r_xla3, replay_apply,
-                                     replay_normal_eq, replay_r)
+                                     fused_update_r_xla3, make_zp3,
+                                     replay_apply, replay_normal_eq,
+                                     replay_r)
 
 AXIS = "cells"
 
@@ -171,14 +172,12 @@ class HarmonyEngine:
                        params: HarmonyParams, lo, *, width: int):
         cfg = self.cfg
         geom = partition_geometry(cfg)
-        CH, nc1 = geom.CH, geom.nc_cap + 1
         with jax.default_matmul_precision(cfg.matmul_precision):
-            Z3 = state.rep_Zcos.reshape(cfg.d, nc1, CH).transpose(1, 0, 2)
-            P3 = data.Phi.reshape(cfg.B, nc1, CH).transpose(1, 0, 2)
+            ZP3 = make_zp3(state.rep_Zcos, data.Phi, data.mask, cfg)
             slots, granks, removal = round_tables(
                 state.rep_key, state.rep_cache, geom, AXIS)
             return replay_r(
-                slots, granks, removal, Z3, P3, state.rep_Y,
+                slots, granks, removal, ZP3, state.rep_Y,
                 params.sigma, params.theta, params.Pr_b,
                 state.rep_O, state.rep_E, cfg, AXIS, lo, width)
 
@@ -389,7 +388,7 @@ class HarmonyEngine:
             converged=jnp.zeros((), jnp.bool_))
         return lax.while_loop(cond, body, carry)
 
-    def _cluster_fused(self, state: HarmonyState, Phi,
+    def _cluster_fused(self, state: HarmonyState, Phi, mask,
                        params: HarmonyParams) -> _KmeansCarry:
         """Fused-kernel k-means loop (Pallas single chip, or the XLA
         equivalent on any mesh). The kernel returns, besides the new R/O/E,
@@ -418,12 +417,11 @@ class HarmonyEngine:
             converged: jax.Array
 
         if not cfg.use_pallas:
-            # Chunk-major views, converted ONCE per harmony iteration; the
-            # loop carries R chunk-major so no (K, N) <-> (nc, CH) re-tiling
-            # happens per round (measured ~3.7 ms/round of pure data
-            # formatting at 858k otherwise).
-            Z3 = state.Z_cos.reshape(cfg.d, nc1, CH).transpose(1, 0, 2)
-            P3 = Phi.reshape(cfg.B, nc1, CH).transpose(1, 0, 2)
+            # Combined chunk-major [mask; Phi; Z_cos] slab, built ONCE per
+            # harmony iteration; the loop carries R chunk-major so no
+            # (K, N) <-> (nc, CH) re-tiling happens per round (measured
+            # ~3.7 ms/round of pure data formatting at 858k otherwise).
+            ZP3 = make_zp3(state.Z_cos, Phi, mask, cfg)
 
         def body(c: C) -> C:
             Ysum = c.Ysum
@@ -441,7 +439,7 @@ class HarmonyEngine:
                 # buffers reduce through the same fixed frame as the XLA
                 # path.
                 R, O, E, cache, ybuf, kbuf = fused_update_r(
-                    slots.reshape(-1), removal, state.Z_cos, Phi, Y,
+                    slots.reshape(-1), removal, state.Z_cos, Phi, mask, Y,
                     params.sigma, params.theta, params.Pr_b, c.O, c.E, cfg,
                     interpret=self._pallas_interpret)
                 Ysum = frame_sum(ybuf[: geom.nc_cap], gids, geom.NC_fixed,
@@ -453,7 +451,7 @@ class HarmonyEngine:
                 # Any mesh: fixed-frame reductions keep O/E/Ysum and the
                 # objective bitwise device-count-invariant.
                 R, O, E, Ysum, cache, kerr, ent = fused_update_r_xla3(
-                    slots, granks, removal, Z3, P3, c.R, Y,
+                    slots, granks, removal, ZP3, c.R, Y,
                     params.sigma, params.theta, params.Pr_b, c.O, c.E, cfg,
                     AXIS)
             nc = jnp.float32(2000.0 / cfg.N)
@@ -487,7 +485,8 @@ class HarmonyEngine:
             # matching every subsequent round (bitwise device-count-
             # invariant).
             R0 = state.R.reshape(cfg.K, nc1, CH).transpose(1, 0, 2)
-            y_c = jnp.einsum("jdc,jkc->jdk", Z3, R0.astype(jnp.float32))
+            y_c = jnp.einsum("jdc,jkc->jdk", ZP3[:, cfg.B + 1:, :],
+                             R0.astype(jnp.float32))
             ysum0 = frame_sum(y_c[: geom.nc_cap], gids, geom.NC_fixed, AXIS)
         carry = C(
             R=R0,
@@ -531,7 +530,7 @@ class HarmonyEngine:
         i: jax.Array
         converged: jax.Array
 
-    def _cluster_defer(self, state: HarmonyState, Z3, P3, Z_cos, Phi,
+    def _cluster_defer(self, state: HarmonyState, ZP3, Z_cos, Phi, mask,
                        params: HarmonyParams) -> "_DeferCarry":
         """Deferred-R k-means loop: every round runs a no-R fused E-step
         (nothing K x N read or written) and saves its start-of-round inputs
@@ -550,7 +549,7 @@ class HarmonyEngine:
             slots, granks, removal = round_tables(k_r, c.cache, geom, AXIS)
             if cfg.use_pallas:
                 _, O, E, cache, ybuf, kbuf = fused_update_r(
-                    slots.reshape(-1), removal, Z_cos, Phi, Y,
+                    slots.reshape(-1), removal, Z_cos, Phi, mask, Y,
                     params.sigma, params.theta, params.Pr_b, c.O, c.E, cfg,
                     interpret=self._pallas_interpret, write_r=False)
                 Ysum = frame_sum(ybuf[: geom.nc_cap], gids, geom.NC_fixed,
@@ -560,7 +559,7 @@ class HarmonyEngine:
                 kerr, ent = ko[0], ko[1]
             else:
                 O, E, Ysum, cache, kerr, ent = fused_update_nor_xla3(
-                    slots, granks, removal, Z3, P3, Y,
+                    slots, granks, removal, ZP3, Y,
                     params.sigma, params.theta, params.Pr_b, c.O, c.E, cfg,
                     AXIS)
             nc = jnp.float32(2000.0 / cfg.N)
@@ -605,10 +604,9 @@ class HarmonyEngine:
         CH, nc1 = geom.CH, geom.nc_cap + 1
         with jax.default_matmul_precision(cfg.matmul_precision):
             Z_orig, Phi, mask = data
-            Z3 = state.Z_cos.reshape(cfg.d, nc1, CH).transpose(1, 0, 2)
-            P3 = Phi.reshape(cfg.B, nc1, CH).transpose(1, 0, 2)
+            ZP3 = make_zp3(state.Z_cos, Phi, mask, cfg)
 
-            carry = self._cluster_defer(state, Z3, P3, state.Z_cos, Phi,
+            carry = self._cluster_defer(state, ZP3, state.Z_cos, Phi, mask,
                                         params)
 
             kmeans_rounds, n_rounds = append(
@@ -618,17 +616,16 @@ class HarmonyEngine:
                 carry.obj_kmeans[carry.n_kmeans - 1])
 
             # ---- ridge correction by replay (harmony.py:535-569) --------
-            M3 = mask.reshape(nc1, CH)
             ZO3 = Z_orig.reshape(cfg.d, nc1, CH).transpose(1, 0, 2)
             slots, granks, removal = round_tables(
                 carry.rep_key, carry.rep_cache, geom, AXIS)
             S = replay_normal_eq(
-                slots, granks, removal, Z3, P3, M3, ZO3, carry.rep_Y,
+                slots, granks, removal, ZP3, ZO3, carry.rep_Y,
                 params.sigma, params.theta, params.Pr_b,
                 carry.rep_O, carry.rep_E, cfg, AXIS)
             W = solve_w(S, carry.E, params, cfg)
             Zc3, Zs3, Ysum0 = replay_apply(
-                slots, granks, removal, Z3, P3, M3, ZO3, W, carry.rep_Y,
+                slots, granks, removal, ZP3, ZO3, W, carry.rep_Y,
                 params.sigma, params.theta, params.Pr_b,
                 carry.rep_O, carry.rep_E, cfg, AXIS)
             Z_corr = Zc3.transpose(1, 0, 2).reshape(cfg.d, nc1 * CH)
@@ -675,7 +672,7 @@ class HarmonyEngine:
 
             # ---- cluster(): fuzzy k-means loop (harmony.py:437-462) -----
             if cfg.fused_estep:
-                carry = self._cluster_fused(state, Phi, params)
+                carry = self._cluster_fused(state, Phi, mask, params)
             else:
                 carry = self._cluster_xla(state, Phi, mask, params)
 

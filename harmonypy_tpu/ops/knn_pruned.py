@@ -313,10 +313,16 @@ def pruned_knn(X: jnp.ndarray, n_neighbors: int, visit: int = _DEFAULT_VISIT,
 
     probe_min_cert: before the full pass, a spread-out sample of clusters
     is answered and its certification rate measured; below this threshold
-    the function returns None — pruning is not going to pay on this
+    the search RETRIES ONCE with 4x the visit count (the usual reason the
+    probe fails on clusterable data is that C has grown past `visit` — at
+    858k cells C=2048 puts ~85 sub-clusters inside each natural clump,
+    more than visit=32 can cover, so same-clump clusters stay unvisited
+    and the triangle-inequality bound cannot fire). If the escalated probe
+    also fails, returns None — pruning is not going to pay on this
     geometry (e.g. genuinely high-dimensional inputs, where EVERY exact
     method including the reference's kd-tree degrades to linear scans) and
-    the caller should use the brute path directly. None disables probing.
+    the caller should use the brute path directly. None disables probing
+    (and with it the escalation: the requested `visit` is used as-is).
 
     mesh: optional jax.sharding.Mesh (single-process) — the per-cluster
     scan is sharded over the mesh's first axis (the index stays
@@ -334,44 +340,63 @@ def pruned_knn(X: jnp.ndarray, n_neighbors: int, visit: int = _DEFAULT_VISIT,
                          f"{V}*{index.p_max}")
     n_dev = 0 if mesh is None else int(mesh.devices.size)
     use_mesh = n_dev > 1 and jax.process_count() == 1
-    nbrs = _cluster_neighbors(index.centroids, V)
     Np = N + index.p_max
     cb = min(_CLUSTER_BATCH, C)
 
-    if use_mesh:
-        # Accumulate psum-merged per-dispatch deltas: every cluster is
-        # scanned exactly once (sentinel-padded ids), so rows are written
-        # exactly once across all dispatches and the adds merge exact
-        # zeros elsewhere.
-        fn = _mesh_batch_fn(mesh, k, V, index.p_max)
-        out = (jnp.zeros((Np, k), X.dtype), jnp.zeros((Np, k), jnp.int32),
-               jnp.zeros((Np,), jnp.int32))
-        step = cb * n_dev
+    def scan_all(V_try: int):
+        """Full pass at one visit count; None if the probe batch fails."""
+        nbrs = _cluster_neighbors(index.centroids, V_try)
+        if use_mesh:
+            # Accumulate psum-merged per-dispatch deltas: every cluster is
+            # scanned exactly once (sentinel-padded ids), so rows are
+            # written exactly once across all dispatches and the adds merge
+            # exact zeros elsewhere.
+            fn = _mesh_batch_fn(mesh, k, V_try, index.p_max)
+            out = (jnp.zeros((Np, k), X.dtype),
+                   jnp.zeros((Np, k), jnp.int32),
+                   jnp.zeros((Np,), jnp.int32))
+            step = cb * n_dev
 
-        def batch(cids_np, out):
-            cids = jnp.asarray(np.where(cids_np < C, cids_np, -1), jnp.int32)
-            delta = fn(*index[:7], index.scale, cids, nbrs)
-            return tuple(a + b for a, b in zip(out, delta))
-    else:
-        out = (jnp.zeros((Np, k), X.dtype), jnp.full((Np, k), -1, jnp.int32),
-               jnp.zeros((Np,), bool))
-        step = cb
+            def batch(cids_np, out):
+                cids = jnp.asarray(np.where(cids_np < C, cids_np, -1),
+                                   jnp.int32)
+                delta = fn(*index[:7], index.scale, cids, nbrs)
+                return tuple(a + b for a, b in zip(out, delta))
+        else:
+            out = (jnp.zeros((Np, k), X.dtype),
+                   jnp.full((Np, k), -1, jnp.int32),
+                   jnp.zeros((Np,), bool))
+            step = cb
 
-        def batch(cids_np, out):
-            cids = jnp.asarray(np.minimum(cids_np, C - 1), jnp.int32)
-            return _query_batch(index, cids, nbrs, k, V, index.p_max, out)
+            def batch(cids_np, out):
+                cids = jnp.asarray(np.minimum(cids_np, C - 1), jnp.int32)
+                return _query_batch(index, cids, nbrs, k, V_try,
+                                    index.p_max, out)
 
-    for lo in range(0, C, step):
-        out = batch(np.arange(lo, lo + step), out)
-        if lo == 0 and probe_min_cert is not None and C > step:
-            # The first batch doubles as a certification probe: cluster ids
-            # come from iid random centroid init, so the first batch is a
-            # random spatial sample. Bailing here skips ~ (C - step) / C of
-            # the work on geometries where pruning cannot pay.
-            n_cert = float(jnp.sum(out[2]))
-            n_probe = float(jnp.sum(index.counts[:step]))
-            if n_probe > 0 and n_cert / n_probe < probe_min_cert:
-                return None
+        for lo in range(0, C, step):
+            out = batch(np.arange(lo, lo + step), out)
+            if lo == 0 and probe_min_cert is not None and C > step:
+                # The first batch doubles as a certification probe: cluster
+                # ids come from iid random centroid init, so the first
+                # batch is a random spatial sample. Bailing here skips
+                # ~ (C - step) / C of the work on geometries where pruning
+                # cannot pay.
+                n_cert = float(jnp.sum(out[2]))
+                n_probe = float(jnp.sum(index.counts[:step]))
+                if n_probe > 0 and n_cert / n_probe < probe_min_cert:
+                    return None
+        return out
+
+    out = scan_all(V)
+    if out is None and 4 * V < C:
+        # Escalate once: candidate work is ~4x but still ~4V*p_max/N of the
+        # brute force; the wasted probe batch cost ~ cb/C of a base pass.
+        # Only when 4V still prunes meaningfully (4V >= C would visit
+        # everything — the brute path does that with less overhead, which
+        # is exactly what the bail hands back to the caller).
+        out = scan_all(4 * V)
+    if out is None:
+        return None
     dist_s, idx_s, cert_s = out
     if use_mesh:
         cert_s = cert_s.astype(bool)

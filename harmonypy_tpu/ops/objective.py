@@ -38,6 +38,48 @@ def chunk_objective_partials(r, dist, sigma, k_axis: int, chunk_axis: int):
     return kerr, ent
 
 
+def chunk_objective_partials_fast(r, dist, statsO, sigma, theta, logratio,
+                                  logdd):
+    """Per-chunk (kerr, ent) partials WITHOUT a per-element log.
+
+    Valid when every cell carries exactly one covariate level
+    (cfg.n_covariates == 1, the common case): then the E-step's diversity
+    weight is a single table entry per (k, cell), w_kc = wdiv[k, b(c)],
+    and with r = (s / D) * w / Dr, s = exp(-dist / sigma):
+
+        sum_k sigma_k r log r
+          = -sum_k r * dist                        (sigma_k cancels)
+          + sum_kb sigma_k theta_b logratio_kb * O_chunk[k, b]
+          - sum_c (log D_c + log Dr_c) * (sigma^T r)_c
+
+    The first term is the k-means-error partial (already needed); the
+    second contracts the chunk's O stats — which the E-step computes
+    anyway — against a K x B table; only the third touches per-cell
+    values, with ONE log per cell (logdd, from _block_core) instead of one
+    per (k, cell). Exact up to fp32 reassociation, and safe_entropy's
+    nonfinite->0 guard is inherited: every term carries a factor of r, so
+    zero columns (padding / dummy chunks) contribute exactly zero — no log
+    of zero is ever evaluated (logdd's denominators are clamped positive).
+    Traced on v5e the elementwise K x N log was ~20% of the deferred
+    round (docs/deferred_roofline.md).
+
+    All contractions are explicit elementwise-multiply + VPU reduces (NOT
+    einsum/dot): under matmul_precision="default" a dot would run its fp32
+    operands through bf16 MXU passes, and these are user-visible objective
+    values. The Pallas kernel states the same expressions in-kernel, in
+    the same order, for bitwise interchangeability.
+
+    r/dist: (J, K, CH); statsO: (J, K, B); logratio: (K, B);
+    logdd: (J, CH). Returns ((J,), (J,)).
+    """
+    kerr = jnp.sum(r * dist, axis=(1, 2))
+    st = jnp.sum((sigma[:, None] * theta[None, :] * logratio)[None]
+                 * statsO, axis=(1, 2))
+    sr = jnp.sum(r * sigma[None, :, None], axis=1)             # (J, CH)
+    ent = -kerr + st - jnp.sum(sr * logdd, axis=1)
+    return kerr, ent
+
+
 def cross_entropy_from_stats(O, E, params: HarmonyParams, cfg: EngineConfig):
     """Diversity cross term computed from O/E alone, no cell pass:
 

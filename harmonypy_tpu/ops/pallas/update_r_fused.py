@@ -106,28 +106,28 @@ def chunk_stats(R, Phi, cfg: EngineConfig) -> jnp.ndarray:
     return jnp.stack(parts, axis=2).transpose(1, 0, 2)         # (nc1, K, B+1)
 
 
-def _kernel(slots_ref, Zc, Phi, Y, sigma, theta, prb, O_in, E_in, rem,
+def _kernel(slots_ref, ZP, Y, sigma, theta, prb, O_in, E_in, rem,
             R_out, O_out, E_out, cache_out, ybuf_out, kbuf_out,
-            acc, *, J: int):
-    _kernel_impl(slots_ref, Zc, Phi, Y, sigma, theta, prb, O_in, E_in, rem,
+            acc, *, J: int, fast_ent: bool):
+    _kernel_impl(slots_ref, ZP, Y, sigma, theta, prb, O_in, E_in, rem,
                  O_out, E_out, cache_out, ybuf_out, kbuf_out, acc,
-                 R_out=R_out, J=J)
+                 R_out=R_out, J=J, fast_ent=fast_ent)
 
 
-def _kernel_nor(slots_ref, Zc, Phi, Y, sigma, theta, prb, O_in, E_in, rem,
+def _kernel_nor(slots_ref, ZP, Y, sigma, theta, prb, O_in, E_in, rem,
                 O_out, E_out, cache_out, ybuf_out, kbuf_out,
-                acc, *, J: int):
+                acc, *, J: int, fast_ent: bool):
     """Deferred-R variant: identical arithmetic, no R output (the round's
     only K x N HBM traffic disappears; a later XLA replay — bitwise
     interchangeable with this kernel — reproduces r on demand)."""
-    _kernel_impl(slots_ref, Zc, Phi, Y, sigma, theta, prb, O_in, E_in, rem,
+    _kernel_impl(slots_ref, ZP, Y, sigma, theta, prb, O_in, E_in, rem,
                  O_out, E_out, cache_out, ybuf_out, kbuf_out, acc,
-                 R_out=None, J=J)
+                 R_out=None, J=J, fast_ent=fast_ent)
 
 
-def _kernel_impl(slots_ref, Zc, Phi, Y, sigma, theta, prb, O_in, E_in, rem,
+def _kernel_impl(slots_ref, ZP, Y, sigma, theta, prb, O_in, E_in, rem,
                  O_out, E_out, cache_out, ybuf_out, kbuf_out,
-                 acc, *, R_out, J: int):
+                 acc, *, R_out, J: int, fast_ent: bool):
     b = pl.program_id(0)
     j = pl.program_id(1)
 
@@ -151,34 +151,41 @@ def _kernel_impl(slots_ref, Zc, Phi, Y, sigma, theta, prb, O_in, E_in, rem,
     # and fused-XLA paths bitwise-interchangeable.
     oe = jnp.maximum(O_out[:] + E_out[:], CLAMP)
     ratio = jnp.clip(E_out[:] / oe, CLAMP, 1.0)
-    wdiv = jnp.exp(theta[:] * jnp.log(ratio))                   # (K, B)
+    logratio = jnp.log(ratio)                                   # (K, B)
+    wdiv = jnp.exp(theta[:] * logratio)                         # (K, B)
 
     # dist + softmax + reweight, entirely in VMEM (harmony.py:447, 466-503).
-    zb = Zc[:]                                                  # (d, CH)
-    pb = Phi[:]                                                 # (B, CH)
+    # The chunk arrives as ONE [mask; Phi; Z] feature slab (see
+    # update_r_fused_xla.make_zp3 — the standalone (B, CH) one-hot block
+    # gather was the traced round's 2nd-largest op).
+    slab = ZP[:]                                                # (1+B+d, CH)
+    B = theta.shape[1]
+    B1 = B + 1
+    pb = slab[1:B1, :]                                          # (B, CH)
+    zb = slab[B1:, :]                                           # (d, CH)
     dist = 2.0 * (1.0 - jax.lax.dot_general(
         Y[:], zb, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32))                    # (K, CH)
     s = jnp.exp(-dist / sigma[:])
-    scale = s / jnp.sum(s, axis=0, keepdims=True)
+    den = jnp.sum(s, axis=0, keepdims=True)                     # (1, CH)
+    scale = s / den
     r_new = scale * jax.lax.dot_general(
         wdiv, pb, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
-    r_new = r_new / jnp.maximum(jnp.sum(r_new, axis=0, keepdims=True), CLAMP)
+    den_r = jnp.maximum(jnp.sum(r_new, axis=0, keepdims=True), CLAMP)
+    r_new = r_new / den_r
     if R_out is not None:
         # Storage cast only; every statistic below uses the fp32 r_new.
         R_out[:] = r_new.astype(R_out.dtype)
 
-    # ALL linear statistics of r in one MXU contraction against the stacked
-    # features G = [1; Phi; Z] — the same single GEMM the XLA path runs
+    # ALL linear statistics of r in one MXU contraction against the slab
+    # G = [mask; Phi; Z] — the same single GEMM the XLA path runs
     # (_block_stats), so the per-chunk values match it bitwise (the VPU
-    # jnp.sum this replaces rounds differently from the MXU ones-dot).
-    G = jnp.concatenate(
-        [jnp.ones_like(pb[:1]), pb, zb], axis=0)                # (1+B+d, CH)
+    # jnp.sum this replaces rounds differently from the MXU ones-dot; the
+    # mask row equals the ones row wherever r is nonzero).
     S = jax.lax.dot_general(
-        r_new, G, (((1,), (1,)), ((), ())),
+        r_new, slab, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)                     # (K, 1+B+d)
-    B1 = pb.shape[0] + 1
     stats = S[:, :B1]                                           # (K, B+1)
     acc[:] = acc[:] + stats
     cache_out[0] = stats
@@ -187,12 +194,21 @@ def _kernel_impl(slots_ref, Zc, Phi, Y, sigma, theta, prb, O_in, E_in, rem,
     # Per-chunk objective partials (harmony.py:399-402): each cell is
     # updated exactly once per round, so per-chunk sums are exact. The
     # engine reduces them through the same fixed chunk frame as the XLA
-    # path.
+    # path. fast_ent states the log-free factorized entropy (single-
+    # covariate designs; ops/objective.chunk_objective_partials_fast) in
+    # the same expression order as the XLA path — bitwise interchange.
     kerr = jnp.sum(r_new * dist, keepdims=True)                # (1, 1)
-    ent = jnp.sum(jnp.where(
-        r_new > 0.0,
-        r_new * jnp.log(jnp.where(r_new > 0.0, r_new, 1.0)),
-        0.0) * sigma[:], keepdims=True)                        # (1, 1)
+    if fast_ent:
+        st = jnp.sum((sigma[:] * theta[:] * logratio) * stats[:, 1:],
+                     keepdims=True)                            # (1, 1)
+        sr = jnp.sum(r_new * sigma[:], axis=0, keepdims=True)  # (1, CH)
+        logdd = jnp.log(den) + jnp.log(den_r)                  # (1, CH)
+        ent = -kerr + st - jnp.sum(sr * logdd, keepdims=True)
+    else:
+        ent = jnp.sum(jnp.where(
+            r_new > 0.0,
+            r_new * jnp.log(jnp.where(r_new > 0.0, r_new, 1.0)),
+            0.0) * sigma[:], keepdims=True)                    # (1, 1)
     kbuf_out[0, :, 0:1] = kerr
     kbuf_out[0, :, 1:2] = ent
 
@@ -205,8 +221,8 @@ def _kernel_impl(slots_ref, Zc, Phi, Y, sigma, theta, prb, O_in, E_in, rem,
         O_out[:] = O_out[:] + acc[:, 1:]
 
 
-def fused_update_r(slots, removal, Z_cos, Phi, Y, sigma, theta, Pr_b, O, E,
-                   cfg: EngineConfig, interpret: bool = False,
+def fused_update_r(slots, removal, Z_cos, Phi, mask, Y, sigma, theta, Pr_b,
+                   O, E, cfg: EngineConfig, interpret: bool = False,
                    write_r: bool = True):
     """One full E-step. Returns (R, O, E, cache, ybuf, kbuf): the per-chunk
     centroid-numerator buffer ybuf (n_chunks+1, K, d) and objective-partial
@@ -214,17 +230,25 @@ def fused_update_r(slots, removal, Z_cos, Phi, Y, sigma, theta, Pr_b, O, E,
     fixed chunk frame as the fused-XLA path (partition.frame_sum), so both
     paths produce bitwise-identical global statistics.
 
-    Z_cos: (d, N_alloc), Phi: (B, N_alloc) where N_alloc = cfg.N_local
-    includes the trailing dummy chunk. Y: (d, K). sigma: (K,), theta/Pr_b:
-    (B,). O/E: (K, B). slots: the flattened (nb * J,) per-shard slot table
-    from partition.shard_slot_tables (sentinel == dummy chunk id). removal:
-    (nb, K, B+1) per-block stats from the engine's global cache frame.
+    Z_cos: (d, N_alloc), Phi: (B, N_alloc), mask: (N_alloc,) where N_alloc
+    = cfg.N_local includes the trailing dummy chunk; they are stacked into
+    the combined [mask; Phi; Z] slab the kernel streams (make_zp3's
+    cell-major equivalent — XLA hoists the loop-invariant concat out of
+    the k-means while loop). mask=None uses ones (tests; the mask row only
+    affects outputs through cells whose r is zero). Y: (d, K). sigma:
+    (K,), theta/Pr_b: (B,). O/E: (K, B). slots: the flattened (nb * J,)
+    per-shard slot table from partition.shard_slot_tables (sentinel ==
+    dummy chunk id). removal: (nb, K, B+1) per-block stats from the
+    engine's global cache frame.
     """
     geom = pallas_geometry(cfg)
     K, d, B, CH = cfg.K, cfg.d, cfg.B, geom.chunk_size
     nb, J = geom.n_blocks, geom.J
     nc1 = geom.n_chunks + 1
     N_alloc = Z_cos.shape[1]
+    if mask is None:
+        mask = jnp.ones((N_alloc,), jnp.float32)
+    ZP = jnp.concatenate([mask[None, :], Phi, Z_cos], axis=0)  # (1+B+d, NA)
 
     def chunk_map(b, j, slots_ref):
         return (0, slots_ref[b * J + j])
@@ -242,8 +266,7 @@ def fused_update_r(slots, removal, Z_cos, Phi, Y, sigma, theta, Pr_b, O, E,
         num_scalar_prefetch=1,
         grid=(nb, J),
         in_specs=[
-            pl.BlockSpec((d, CH), chunk_map),    # Z_cos
-            pl.BlockSpec((B, CH), chunk_map),    # Phi
+            pl.BlockSpec((1 + B + d, CH), chunk_map),  # [mask; Phi; Z] slab
             pl.BlockSpec((d, K), const_map),     # Y
             pl.BlockSpec((K, 1), const_map),     # sigma
             pl.BlockSpec((1, B), const_map),     # theta
@@ -275,11 +298,13 @@ def fused_update_r(slots, removal, Z_cos, Phi, Y, sigma, theta, Pr_b, O, E,
     ]
 
     outs = pl.pallas_call(
-        functools.partial(_kernel if write_r else _kernel_nor, J=J),
+        functools.partial(_kernel if write_r else _kernel_nor, J=J,
+                          fast_ent=(cfg.fast_objective
+                                    and cfg.n_covariates == 1)),
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
-    )(slots, Z_cos, Phi, Y,
+    )(slots, ZP, Y,
       sigma.reshape(K, 1), theta.reshape(1, B), Pr_b.reshape(1, B), O, E,
       removal)
 

@@ -33,45 +33,71 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..config import EngineConfig
-from .objective import chunk_objective_partials
+from .objective import chunk_objective_partials, chunk_objective_partials_fast
 from .partition import (frame_rows, frame_sum, partition_geometry,
                         shard_chunk_gids)
 
 CLAMP = 1e-8
 
 
-def _block_core(O, E, rem_b, slots_b, Z3, P3, Y, sigma, theta, Pr_b):
+def make_zp3(Z_cos, Phi, mask, cfg: EngineConfig):
+    """Chunk-major combined feature slab (nc1, 1+B+d, CH) = [mask; Phi; Z].
+
+    One slab replaces the separate Z3/P3/M3 inputs of every fused body:
+    the per-block gather moves ONE well-tiled (1+B+d, CH) block instead of
+    a separate (B, CH) one-hot slab — traced on v5e, the standalone bf16
+    (3, 2048) Phi gather tiled T(4,128)(2,1) and cost 10.6 us/call
+    (~0.21 ms/round, 2nd-largest op of the deferred round) while the
+    10x-larger Z gather took 2.25 us (docs/deferred_roofline.md). The slab
+    IS the G feature matrix `_block_stats` previously concatenated per
+    block, so that copy disappears too.
+
+    Row 0 is the real cell MASK, not ones: the stats contraction is
+    bitwise indifferent (r is exactly zero wherever mask is — 0*1 == 0*0)
+    and the ridge replay needs the mask row so corrected/normalized pad
+    cells stay exactly zero (replay_apply)."""
+    geom = partition_geometry(cfg)
+    nc1, CH = geom.nc_cap + 1, geom.CH
+    ZP = jnp.concatenate([mask[None, :], Phi, Z_cos], axis=0)
+    return ZP.reshape(1 + cfg.B + cfg.d, nc1, CH).transpose(1, 0, 2)
+
+
+def _block_core(O, E, rem_b, slots_b, ZP3, Y, sigma, theta, Pr_b):
     """Shared per-block math (reference harmony.py:491-503): remove the
     block's stats, diversity-reweight, recompute the block's soft
-    assignments. Returns (O_removed, E_removed, r, zb, pb, dist). Single
-    source for the round body AND the deferred-R replay passes — the replay
-    must reproduce r bitwise."""
+    assignments. Returns (O_removed, E_removed, r, g, pb, dist, logratio,
+    logdd) with g the gathered (Js, 1+B+d, CH) feature slab and logdd the
+    per-cell log of the two softmax denominators (consumed by the fast
+    entropy partials; dead code the replay passes' XLA lowering drops).
+    Single source for the round body AND the deferred-R replay passes —
+    the replay must reproduce r bitwise."""
     E = E - rem_b[:, 0:1] * Pr_b[None, :]
     O = O - rem_b[:, 1:]
     oe = jnp.maximum(O + E, CLAMP)
     ratio = jnp.clip(E / oe, CLAMP, 1.0)
-    wdiv = jnp.exp(theta[None, :] * jnp.log(ratio))            # (K, B)
+    logratio = jnp.log(ratio)                                  # (K, B)
+    wdiv = jnp.exp(theta[None, :] * logratio)                  # (K, B)
 
-    zb = Z3[slots_b]                                           # (Js, d, CH)
-    pb = P3[slots_b]                                           # (Js, B, CH)
+    B1 = 1 + theta.shape[0]
+    g = ZP3[slots_b]                                           # (Js, 1+B+d, CH)
+    pb = g[:, 1:B1, :]                                         # (Js, B, CH)
+    zb = g[:, B1:, :]                                          # (Js, d, CH)
     dist = 2.0 * (1.0 - jnp.einsum("dk,jdc->jkc", Y, zb))      # (Js, K, CH)
     s = jnp.exp(-dist / sigma[None, :, None])
-    scale = s / jnp.sum(s, axis=1, keepdims=True)
+    den = jnp.sum(s, axis=1, keepdims=True)
+    scale = s / den
     r = scale * jnp.einsum("kb,jbc->jkc", wdiv, pb)            # dummy cols -> 0
-    r = r / jnp.maximum(jnp.sum(r, axis=1, keepdims=True), CLAMP)
-    return O, E, r, zb, pb, dist
+    den_r = jnp.maximum(jnp.sum(r, axis=1, keepdims=True), CLAMP)
+    r = r / den_r
+    logdd = (jnp.log(den) + jnp.log(den_r))[:, 0, :]           # (Js, CH)
+    return O, E, r, g, pb, dist, logratio, logdd
 
 
-def _block_stats(r, zb, pb):
+def _block_stats(r, g, B1: int):
     """All linear statistics of r in one batched MXU contraction over the
-    stacked features G = [1; Phi; Z]: block mass + O contribution
+    gathered feature slab g = [mask; Phi; Z]: block mass + O contribution
     (stats, (Js, K, B+1)) and the centroid numerator (yk_c, (Js, K, d))."""
-    Js, _, CH = r.shape
-    G = jnp.concatenate(
-        [jnp.ones((Js, 1, CH), jnp.float32), pb,
-         zb.astype(jnp.float32)], axis=1)                      # (Js, 1+B+d, CH)
-    S = jnp.einsum("jkc,jxc->jkx", r, G)                       # (Js, K, 1+B+d)
-    B1 = pb.shape[1] + 1
+    S = jnp.einsum("jkc,jxc->jkx", r, g.astype(jnp.float32))   # (Js,K,1+B+d)
     return S[:, :, :B1], S[:, :, B1:]
 
 
@@ -88,7 +114,21 @@ def _block_readd(O, E, stats, granks_b, Pr_b, geom, axis_name):
     return O + add[:, 1:], E + add[:, 0:1] * Pr_b[None, :]
 
 
-def fused_update_r_xla3(slots, granks, removal, Z3, P3, R3, Y, sigma, theta,
+def _chunk_partials(r, dist, stats, sigma, theta, logratio, logdd,
+                    cfg: EngineConfig):
+    """Per-chunk (kerr, ent): the log-free factorized form when opted in
+    AND each cell carries one covariate level, the generic elementwise
+    form otherwise (multi-covariate Phi columns hold several ones, so
+    log w is a log of a sum and does not factorize; and the factorized
+    values differ at ~1e-6 rel, enough to reorder near-plateau round
+    counts — see EngineConfig.fast_objective)."""
+    if cfg.fast_objective and cfg.n_covariates == 1:
+        return chunk_objective_partials_fast(
+            r, dist, stats[:, :, 1:], sigma, theta, logratio, logdd)
+    return chunk_objective_partials(r, dist, sigma, k_axis=1, chunk_axis=0)
+
+
+def fused_update_r_xla3(slots, granks, removal, ZP3, R3, Y, sigma, theta,
                         Pr_b, O, E, cfg: EngineConfig, axis_name):
     """One full E-step over all blocks, CHUNK-MAJOR. Runs under shard_map.
 
@@ -104,10 +144,11 @@ def fused_update_r_xla3(slots, granks, removal, Z3, P3, R3, Y, sigma, theta,
     partition.shard_slot_tables (slots: local chunk ids, sentinel = dummy
     chunk; granks: global within-block ranks, sentinel = J_fix). removal:
     (nb, K, B+1) replicated per-block stats to remove, already reduced
-    through the global frame. Z3/P3: (nc1, d|B, CH) shard-local with the
-    trailing dummy chunk. R3: (nc1, K, CH) previous R — write-only (every
-    real chunk is rewritten each round; the dummy chunk must arrive zero and
-    stays zero). O/E: (K, B) replicated.
+    through the global frame. ZP3: (nc1, 1+B+d, CH) shard-local combined
+    [mask; Phi; Z_cos] slab (make_zp3) with the trailing dummy chunk. R3:
+    (nc1, K, CH) previous R — write-only (every real chunk is rewritten
+    each round; the dummy chunk must arrive zero and stays zero). O/E:
+    (K, B) replicated.
 
     Returns (R3, O, E, Ysum, cache, kerr, ent) with R3/cache shard-local and
     O/E/Ysum/kerr/ent REPLICATED (already globally reduced, bitwise
@@ -121,15 +162,15 @@ def fused_update_r_xla3(slots, granks, removal, Z3, P3, R3, Y, sigma, theta,
         O, E, R3, cache, ybuf, kbuf = carry
         slots_b, granks_b, rem_b = inp        # (Js,), (Js,), (K, B+1)
 
-        O, E, r, zb, pb, dist = _block_core(
-            O, E, rem_b, slots_b, Z3, P3, Y, sigma, theta, Pr_b)
+        O, E, r, g, pb, dist, logratio, logdd = _block_core(
+            O, E, rem_b, slots_b, ZP3, Y, sigma, theta, Pr_b)
         # Per-chunk statistics — fixed (.., CH) shapes on every mesh.
-        stats, yk_c = _block_stats(r, zb, pb)
+        stats, yk_c = _block_stats(r, g, B + 1)
         O, E = _block_readd(O, E, stats, granks_b, Pr_b, geom, axis_name)
 
         # Per-chunk objective partials.
-        kerr_c, ent_c = chunk_objective_partials(
-            r, dist, sigma, k_axis=1, chunk_axis=0)            # (Js,) each
+        kerr_c, ent_c = _chunk_partials(
+            r, dist, stats, sigma, theta, logratio, logdd, cfg)  # (Js,) each
 
         # Write-back: every real chunk is written exactly once per round;
         # sentinel (dummy) slots all carry zeros, so duplicates are harmless.
@@ -156,7 +197,7 @@ def fused_update_r_xla3(slots, granks, removal, Z3, P3, R3, Y, sigma, theta,
     return (R3, O, E, Ysum, cache, ko[0], ko[1])
 
 
-def fused_update_nor_xla3(slots, granks, removal, Z3, P3, Y, sigma, theta,
+def fused_update_nor_xla3(slots, granks, removal, ZP3, Y, sigma, theta,
                           Pr_b, O, E, cfg: EngineConfig, axis_name):
     """Deferred-R round: identical to fused_update_r_xla3 minus the R3
     write-back — nothing K x N is read or written. Every statistic (O, E,
@@ -170,12 +211,12 @@ def fused_update_nor_xla3(slots, granks, removal, Z3, P3, Y, sigma, theta,
         O, E, cache, ybuf, kbuf = carry
         slots_b, granks_b, rem_b = inp
 
-        O, E, r, zb, pb, dist = _block_core(
-            O, E, rem_b, slots_b, Z3, P3, Y, sigma, theta, Pr_b)
-        stats, yk_c = _block_stats(r, zb, pb)
+        O, E, r, g, pb, dist, logratio, logdd = _block_core(
+            O, E, rem_b, slots_b, ZP3, Y, sigma, theta, Pr_b)
+        stats, yk_c = _block_stats(r, g, B + 1)
         O, E = _block_readd(O, E, stats, granks_b, Pr_b, geom, axis_name)
-        kerr_c, ent_c = chunk_objective_partials(
-            r, dist, sigma, k_axis=1, chunk_axis=0)
+        kerr_c, ent_c = _chunk_partials(
+            r, dist, stats, sigma, theta, logratio, logdd, cfg)
 
         cache = cache.at[slots_b].set(stats)
         ybuf = ybuf.at[slots_b].set(yk_c)
@@ -197,7 +238,7 @@ def fused_update_nor_xla3(slots, granks, removal, Z3, P3, Y, sigma, theta,
     return (O, E, Ysum, cache, ko[0], ko[1])
 
 
-def replay_normal_eq(slots, granks, removal, Z3, P3, M3, ZO3, Y, sigma,
+def replay_normal_eq(slots, granks, removal, ZP3, ZO3, Y, sigma,
                      theta, Pr_b, O, E, cfg: EngineConfig, axis_name):
     """Deferred-R ridge pass 1: replay the final k-means round's E-step
     (bitwise — same _block_core, same tables, same pre-round O/E/cache) and
@@ -205,7 +246,8 @@ def replay_normal_eq(slots, granks, removal, Z3, P3, M3, ZO3, Y, sigma,
     resident (VERDICT r2 #6: the stored-R path read the K x N array twice
     for ridge; here it is never materialized at all).
 
-    M3: (nc1, CH) chunk-major mask (the Phi_moe intercept row); ZO3:
+    The Phi_moe design rows a = [mask; Phi] are the leading B1 rows of the
+    gathered ZP3 slab (mask IS the intercept row: pads carry zero). ZO3:
     (nc1, d, CH) chunk-major Z_orig. Returns S (B1*(B1+d), K) replicated —
     the same stacked normal-equation layout as ridge._normal_eq_framed,
     reduced through the same fixed frame (bitwise device-count-invariant).
@@ -216,12 +258,12 @@ def replay_normal_eq(slots, granks, removal, Z3, P3, M3, ZO3, Y, sigma,
     def body(carry, inp):
         O, E, Sbuf = carry
         slots_b, granks_b, rem_b = inp
-        O, E, r, zb, pb, _ = _block_core(
-            O, E, rem_b, slots_b, Z3, P3, Y, sigma, theta, Pr_b)
-        stats, _ = _block_stats(r, zb, pb)
+        O, E, r, g, pb, _, _, _ = _block_core(
+            O, E, rem_b, slots_b, ZP3, Y, sigma, theta, Pr_b)
+        stats, _ = _block_stats(r, g, B1)
         O, E = _block_readd(O, E, stats, granks_b, Pr_b, geom, axis_name)
 
-        a = jnp.concatenate([M3[slots_b][:, None, :], pb], axis=1)
+        a = g[:, :B1, :]
         zo = ZO3[slots_b]                                      # (Js, d, CH)
         F = jnp.concatenate(
             [(a[:, :, None, :] * a[:, None, :, :]).reshape(
@@ -239,7 +281,7 @@ def replay_normal_eq(slots, granks, removal, Z3, P3, M3, ZO3, Y, sigma,
     return frame_sum(Sbuf[: geom.nc_cap], gids, geom.NC_fixed, axis_name)
 
 
-def replay_apply(slots, granks, removal, Z3, P3, M3, ZO3, W, Y, sigma,
+def replay_apply(slots, granks, removal, ZP3, ZO3, W, Y, sigma,
                  theta, Pr_b, O, E, cfg: EngineConfig, axis_name):
     """Deferred-R ridge pass 2: replay the final round's E-step again and
     apply the ridge correction chunk-resident (reference harmony.py:559-569),
@@ -257,12 +299,12 @@ def replay_apply(slots, granks, removal, Z3, P3, M3, ZO3, W, Y, sigma,
     def body(carry, inp):
         O, E, Zc3, Zs3, ybuf = carry
         slots_b, granks_b, rem_b = inp
-        O, E, r, zb, pb, _ = _block_core(
-            O, E, rem_b, slots_b, Z3, P3, Y, sigma, theta, Pr_b)
-        stats, _ = _block_stats(r, zb, pb)
+        O, E, r, g, pb, _, _, _ = _block_core(
+            O, E, rem_b, slots_b, ZP3, Y, sigma, theta, Pr_b)
+        stats, _ = _block_stats(r, g, B1)
         O, E = _block_readd(O, E, stats, granks_b, Pr_b, geom, axis_name)
 
-        a = jnp.concatenate([M3[slots_b][:, None, :], pb], axis=1)
+        a = g[:, :B1, :]   # [mask; Phi] — pads stay exactly zero below
         # T[c, b, :] = sum_k r[k, c] W[k, b, :] — one (CH, K) x (K, B1*d)
         # GEMM per chunk, matching ridge's R^T W chunking.
         T = jnp.einsum("jkc,kf->jcf", r, Wf).reshape(
@@ -289,7 +331,7 @@ def replay_apply(slots, granks, removal, Z3, P3, M3, ZO3, W, Y, sigma,
     return Zc3, Zs3, Ysum0
 
 
-def replay_r(slots, granks, removal, Z3, P3, Y, sigma, theta, Pr_b, O, E,
+def replay_r(slots, granks, removal, ZP3, Y, sigma, theta, Pr_b, O, E,
              cfg: EngineConfig, axis_name, lo: int, width: int):
     """Deferred-R materializer: replay the final round and return the
     stored-form R for the local chunk window [lo, lo + width) only
@@ -303,9 +345,9 @@ def replay_r(slots, granks, removal, Z3, P3, Y, sigma, theta, Pr_b, O, E,
     def body(carry, inp):
         O, E, Rw = carry
         slots_b, granks_b, rem_b = inp
-        O, E, r, zb, pb, _ = _block_core(
-            O, E, rem_b, slots_b, Z3, P3, Y, sigma, theta, Pr_b)
-        stats, _ = _block_stats(r, zb, pb)
+        O, E, r, g, pb, _, _, _ = _block_core(
+            O, E, rem_b, slots_b, ZP3, Y, sigma, theta, Pr_b)
+        stats, _ = _block_stats(r, g, cfg.B1)
         O, E = _block_readd(O, E, stats, granks_b, Pr_b, geom, axis_name)
         # Scatter the window's chunks; out-of-window slots hit the trash row.
         w_idx = slots_b - lo
@@ -319,19 +361,21 @@ def replay_r(slots, granks, removal, Z3, P3, Y, sigma, theta, Pr_b, O, E,
 
 
 def fused_update_r_xla(slots, granks, removal, Z_cos, Phi, Y, sigma, theta,
-                       Pr_b, O, E, cfg: EngineConfig, axis_name):
+                       Pr_b, O, E, cfg: EngineConfig, axis_name, mask=None):
     """Cell-major convenience wrapper around fused_update_r_xla3 (tests and
     direct drives): Z_cos/Phi (d|B, N_local) in, R (K, N_local) out. The
     engine calls the chunk-major core directly to avoid the per-round
-    re-tiles."""
+    re-tiles. mask defaults to ones — the slab's mask row only affects
+    outputs through cells whose r is zero (see make_zp3)."""
     geom = partition_geometry(cfg)
-    K, d, B, CH = cfg.K, cfg.d, cfg.B, geom.CH
+    K, CH = cfg.K, geom.CH
     nc1 = geom.nc_cap + 1
-    Z3 = Z_cos.reshape(d, nc1, CH).transpose(1, 0, 2)
-    P3 = Phi.reshape(B, nc1, CH).transpose(1, 0, 2)
+    if mask is None:
+        mask = jnp.ones((Z_cos.shape[1],), jnp.float32)
+    ZP3 = make_zp3(Z_cos, Phi, mask, cfg)
     R3 = jnp.zeros((nc1, K, CH), cfg.r_jnp_dtype)
     R3, O, E, Ysum, cache, kerr, ent = fused_update_r_xla3(
-        slots, granks, removal, Z3, P3, R3, Y, sigma, theta, Pr_b, O, E,
+        slots, granks, removal, ZP3, R3, Y, sigma, theta, Pr_b, O, E,
         cfg, axis_name)
     return (R3.transpose(1, 0, 2).reshape(K, nc1 * CH), O, E, Ysum, cache,
             kerr, ent)

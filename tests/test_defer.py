@@ -36,24 +36,37 @@ def _run(X, meta, nd, **kw):
                           verbose=False, **kw)
 
 
-def test_defer_device_count_invariance_bitwise():
+@pytest.fixture(scope="module")
+def defer_fits_50k():
+    """Deferred-R fits of the same 50k problem at 1/2/8 devices, shared by
+    the invariance and stored-path-equivalence tests (suite wall-clock:
+    each 50k fit is among the most expensive in the suite)."""
     X, meta = _problem()
-    ref = _run(X, meta, 1, defer_r=True)
+    # defer_r left unset: the fused-path DEFAULT must resolve to deferred-R
+    # (asserted below), so these fits double as default-config coverage.
+    fits = {nd: _run(X, meta, nd) for nd in (1, 2, 8)}
+    return X, meta, fits
+
+
+def test_defer_device_count_invariance_bitwise(defer_fits_50k):
+    _, _, fits = defer_fits_50k
+    assert all(f.cfg.defer_r for f in fits.values())
+    ref = fits[1]
     for nd in (2, 8):
-        ho = _run(X, meta, nd, defer_r=True)
+        ho = fits[nd]
         np.testing.assert_array_equal(ref.Z_corr, ho.Z_corr)
         np.testing.assert_array_equal(ref.R, ho.R)
         assert ref.objective_kmeans == ho.objective_kmeans
 
 
-def test_defer_matches_stored_path():
+def test_defer_matches_stored_path(defer_fits_50k):
     """Same algorithm, same partition, same update equations — results agree
     to float32 reduction tolerance (init statistics and ridge accumulate in
     chunk-shaped rather than array-shaped reductions)."""
-    X, meta = _problem()
+    X, meta, fits = defer_fits_50k
     stored = _run(X, meta, 2, defer_r=False)
     assert stored.cfg.use_fused_xla and not stored.cfg.defer_r
-    defer = _run(X, meta, 2)
+    defer = fits[2]
     assert defer.cfg.defer_r  # deferred-R is the fused-path default
     np.testing.assert_allclose(stored.Z_corr, defer.Z_corr,
                                rtol=2e-4, atol=2e-4)

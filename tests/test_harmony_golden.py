@@ -20,14 +20,29 @@ def _correlations(Z_corr, harmonized):
     ])
 
 
-@pytest.mark.parametrize("n_devices", [1, 8])
-def test_run_harmony_small(pbmc, n_devices):
+@pytest.fixture(scope="module")
+def pbmc_fit8(pbmc):
+    """One default-config 8-device pbmc fit shared by every assertion-only
+    test in this module (suite wall-clock: each full pbmc fit costs tens of
+    seconds on the virtual CPU mesh)."""
+    meta, pcs, _ = pbmc
+    return hm.run_harmony(pcs, meta, ["donor"], mesh=make_mesh(n_devices=8),
+                          verbose=False)
+
+
+def test_run_harmony_small_1dev(pbmc):
     meta, pcs, harmonized = pbmc
-    mesh = make_mesh(n_devices=n_devices)
-    ho = hm.run_harmony(pcs, meta, ["donor"], mesh=mesh, verbose=False)
+    ho = hm.run_harmony(pcs, meta, ["donor"], mesh=make_mesh(n_devices=1),
+                        verbose=False)
     cors = _correlations(ho.Z_corr, harmonized)
     # the reference's own CI gate is 0.9 (tests/test_harmony.py:130); we
     # measure 0.997+ and lock the margin in to catch quality regressions
+    assert np.all(cors >= 0.99), f"correlations < 0.99: {cors}"
+
+
+def test_run_harmony_small_8dev(pbmc, pbmc_fit8):
+    meta, pcs, harmonized = pbmc
+    cors = _correlations(pbmc_fit8.Z_corr, harmonized)
     assert np.all(cors >= 0.99), f"correlations < 0.99: {cors}"
 
 
@@ -46,10 +61,8 @@ def test_run_harmony_small_fused_xla_golden(pbmc, n_devices):
     assert np.all(cors >= 0.99), f"correlations < 0.99: {cors}"
 
 
-def test_objective_decreases(pbmc):
-    meta, pcs, _ = pbmc
-    mesh = make_mesh(n_devices=8)
-    ho = hm.run_harmony(pcs, meta, ["donor"], mesh=mesh, verbose=False)
+def test_objective_decreases(pbmc_fit8):
+    ho = pbmc_fit8
     obj = ho.objective_harmony
     assert len(obj) >= 2
     assert obj[-1] < obj[0]

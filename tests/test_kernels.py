@@ -324,3 +324,55 @@ def test_kmeansbb_exact_topk_variant_matches():
 
     p_a, p_e = potential(False), potential(True)
     assert abs(p_a - p_e) <= 0.01 * p_e, (p_a, p_e)
+
+
+def test_factorized_entropy_matches_elementwise():
+    """The fused paths' log-free entropy partials
+    (ops/objective.chunk_objective_partials_fast, single-covariate designs)
+    equal the generic elementwise sigma * r * log(r) form up to fp32
+    reassociation — on r produced by the REAL _block_core, including dummy
+    chunks / padded cells (all-zero columns contribute exactly zero)."""
+    import jax
+    import jax.numpy as jnp
+    from harmonypy_tpu.config import EngineConfig
+    from harmonypy_tpu.ops.normalize import safe_entropy
+    from harmonypy_tpu.ops.objective import (
+        chunk_objective_partials, chunk_objective_partials_fast)
+    from harmonypy_tpu.ops.update_r_fused_xla import (_block_core,
+                                                      _block_stats)
+
+    rng = np.random.default_rng(5)
+    Js, CH, d, K, B = 3, 128, 6, 11, 3
+    cfg = EngineConfig(N=Js * CH, d=d, K=K, B=B, n_devices=1,
+                       use_fused_xla=True, chunk_size=CH)
+    mask = np.ones((Js, CH), np.float32)
+    mask[-1] = 0.0                       # one all-dummy chunk
+    mask[0, 100:] = 0.0                  # padded tail inside a real chunk
+    Z = rng.normal(size=(Js, d, CH)).astype(np.float32) * mask[:, None, :]
+    Z /= np.maximum(np.linalg.norm(Z, axis=1, keepdims=True), 1e-6)
+    codes = rng.integers(0, B, size=(Js, CH))
+    Phi = ((codes[:, None, :] == np.arange(B)[None, :, None])
+           .astype(np.float32) * mask[:, None, :])
+    ZP3 = jnp.asarray(np.concatenate([mask[:, None, :], Phi, Z], axis=1))
+    Y = rng.normal(size=(d, K)).astype(np.float32)
+    Y /= np.linalg.norm(Y, axis=0)
+    sigma = jnp.full((K,), 0.1, jnp.float32)
+    theta = jnp.full((B,), 2.0, jnp.float32)
+    Pr_b = jnp.full((B,), 1.0 / B, jnp.float32)
+    O = jnp.asarray(np.abs(rng.normal(size=(K, B))).astype(np.float32) + 0.1)
+    E = jnp.asarray(np.abs(rng.normal(size=(K, B))).astype(np.float32) + 0.1)
+    rem = jnp.zeros((K, B + 1), jnp.float32)
+    slots = jnp.arange(Js, dtype=jnp.int32)
+
+    _, _, r, g, pb, dist, logratio, logdd = _block_core(
+        O, E, rem, slots, ZP3, Y, sigma, theta, Pr_b)
+    stats, _ = _block_stats(r, g, B + 1)
+    kerr_f, ent_f = chunk_objective_partials_fast(
+        r, dist, stats[:, :, 1:], sigma, theta, logratio, logdd)
+    kerr_g, ent_g = chunk_objective_partials(r, dist, sigma, k_axis=1,
+                                             chunk_axis=0)
+    np.testing.assert_allclose(np.asarray(kerr_f), np.asarray(kerr_g))
+    np.testing.assert_allclose(np.asarray(ent_f), np.asarray(ent_g),
+                               rtol=2e-4, atol=2e-4)
+    # dummy chunk contributes exactly zero in both forms
+    assert float(ent_f[-1]) == 0.0 and float(ent_g[-1]) == 0.0

@@ -90,7 +90,7 @@ def test_fused_kernel_matches_chunk_oracle(block_size):
     removal = removal_from_cache(cache[: pgeom.nc_cap], gtbl, pgeom)
     R2, O2, E2, cache2, ybuf, kbuf = fused_update_r(
         np.asarray(slots).reshape(-1), removal, jnp.asarray(p["Zc"]),
-        jnp.asarray(p["Phi"]), jnp.asarray(p["Y"]), jnp.asarray(p["sigma"]),
+        jnp.asarray(p["Phi"]), None, jnp.asarray(p["Y"]), jnp.asarray(p["sigma"]),
         jnp.asarray(p["theta"]), jnp.asarray(p["Pr_b"]), jnp.asarray(p["O"]),
         jnp.asarray(p["E"]), cfg, interpret=True)
     # Engine-equivalent reductions of the per-chunk buffers (1 device).

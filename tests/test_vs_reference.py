@@ -129,12 +129,23 @@ def test_no_degenerate_overmixing(n_cells):
         assert ours.cfg.fused_estep and ours.cfg.defer_r, ours.cfg
     Z = ours.Z_corr
 
-    ilisi_before = hm.compute_lisi(X, meta, ["donor"]).mean()
-    ilisi_after = hm.compute_lisi(Z, meta, ["donor"]).mean()
+    # Above a few thousand cells, evaluate LISI on a fixed 4096-query
+    # sample (neighbors still come from ALL cells): the gates compare
+    # MEANS with 0.15 / 0.02 margins, and the sample SE of a mean LISI is
+    # ~0.006 — while four full brute evaluations at 24k were 13 of the
+    # suite's 34 minutes (suite wall-clock, VERDICT r3 #6).
+    kw = (dict(sample=4096, random_state=0) if n_cells > 8_000 else {})
+
+    def mean_lisi(E, col):
+        v = hm.compute_lisi(E, meta, [col], **kw)
+        return (v[0] if kw else v).mean()
+
+    ilisi_before = mean_lisi(X, "donor")
+    ilisi_after = mean_lisi(Z, "donor")
     assert ilisi_after > ilisi_before + 0.15, (ilisi_before, ilisi_after)
 
-    clisi_before = hm.compute_lisi(X, meta, ["group"]).mean()
-    clisi_after = hm.compute_lisi(Z, meta, ["group"]).mean()
+    clisi_before = mean_lisi(X, "group")
+    clisi_after = mean_lisi(Z, "group")
     assert clisi_after < clisi_before + 0.02, (clisi_before, clisi_after)
 
     def separation(E):

@@ -77,7 +77,7 @@ def main():
         removal = removal_from_cache(cache[: geom.nc_cap], gtbl, geom)
 
         Rp, Op, Ep, cache_p, ybuf_p, kbuf_p = fused_update_r(
-            slots.reshape(-1), removal, Z_cos, jnp.asarray(Phi), Y,
+            slots.reshape(-1), removal, Z_cos, jnp.asarray(Phi), None, Y,
             sigma, theta, prb, O, E, cfg, interpret=False)
         ys_p = jnp.sum(ybuf_p[: geom.nc_cap], axis=0).T
         ko_p = jnp.sum(kbuf_p[: geom.nc_cap], axis=0)
