@@ -27,6 +27,11 @@ import sys
 import tempfile
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+# The parent process imports harmonypy_tpu too (_check); running this file
+# as a script puts tools/ on sys.path, not the repo root, so add it
+# explicitly (workers get it via PYTHONPATH below).
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
 N, D, B = 4000, 8, 3
 # Per-run port so a killed/failed previous run can't poison this one with a
 # stale coordinator; workers inherit it via the environment.
