@@ -22,6 +22,20 @@ jax.config.update("jax_platforms", "cpu")
 # all harmony-engine code pins float32 explicitly, so this is safe.
 jax.config.update("jax_enable_x64", True)
 
+# Opt-in persistent compile cache for local dev loops: the suite is
+# compile-bound on CPU (a 30k fused fit is ~45 s compile + ~15 s execute),
+# so re-runs with HARMONYPY_TEST_COMPILE_CACHE=<dir> skip recompilation of
+# unchanged programs entirely. Off by default: XLA:CPU serializes
+# machine-feature-specific code (its loader warns across heterogeneous
+# machines, e.g. CI runner pools), and correctness gates should compile
+# fresh at least in CI. Cache hits return the byte-identical executable, so
+# bitwise assertions are unaffected.
+_cache_dir = os.environ.get("HARMONYPY_TEST_COMPILE_CACHE")
+if _cache_dir:
+    from jax.experimental.compilation_cache import compilation_cache as _cc
+    _cc.set_cache_dir(_cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -76,25 +76,47 @@ def test_defer_matches_stored_path(defer_fits_50k):
     assert stored.kmeans_rounds == defer.kmeans_rounds
 
 
-def test_defer_r_property_consistency():
+def test_defer_r_property_consistency(defer_fits_50k):
     """The materialized R is a valid soft assignment consistent with the
-    state's O: columns sum to 1 and R Phi^T reproduces O."""
-    X, meta = _problem(n=30_000)
-    ho = _run(X, meta, 2, defer_r=True)
+    state's O: columns sum to 1 and R Phi^T reproduces O. (Runs on the
+    shared 2-device 50k fit — no extra fit; suite wall-clock.)"""
+    _, _, fits = defer_fits_50k
+    ho = fits[2]
+    assert ho.cfg.defer_r
     R = ho.R                                  # (N, K)
     np.testing.assert_allclose(R.sum(axis=1), 1.0, atol=1e-4)
     O = R.T @ ho.Phi                          # (K, B)
     np.testing.assert_allclose(O, ho.O, rtol=1e-4, atol=5e-3)
 
 
+@pytest.fixture(scope="module")
+def mid30k():
+    return _problem(n=30_000)
+
+
+@pytest.fixture(scope="module")
+def mid30k_fit_1dev(mid30k):
+    """All-defaults single-device fit of the 30k problem (auto chunk ->
+    1024, fused geometry -> deferred-R). Shared by the auto-chunk,
+    Pallas-backend, and capacity-auto-enable tests: they all need exactly
+    this config, so one fit (and one compiled executable) serves three
+    tests (suite wall-clock)."""
+    X, meta = mid30k
+    ho = hm.run_harmony(X, meta, ["donor"], mesh=make_mesh(n_devices=1),
+                        verbose=False, max_iter_harmony=2)
+    assert ho.cfg.fused_estep and ho.cfg.defer_r
+    assert ho.cfg.chunk_size == 1024 and not ho.cfg.use_pallas
+    return ho
+
+
 def test_defer_checkpoint_resume(tmp_path):
     X, meta = _problem(n=30_000)
     ckpt = str(tmp_path)
-    full = _run(X, meta, 2, defer_r=True, max_iter_harmony=4,
+    full = _run(X, meta, 2, defer_r=True, max_iter_harmony=3,
                 random_state=3, checkpoint_dir=ckpt)
-    resumed = _run(X, meta, 2, defer_r=True, max_iter_harmony=4,
+    resumed = _run(X, meta, 2, defer_r=True, max_iter_harmony=3,
                    random_state=3,
-                   resume_from=f"{ckpt}/harmony_iter_2.npz")
+                   resume_from=f"{ckpt}/harmony_iter_1.npz")
     np.testing.assert_array_equal(full.Z_corr, resumed.Z_corr)
     np.testing.assert_array_equal(full.R, resumed.R)
     np.testing.assert_allclose(full.objective_harmony,
@@ -113,20 +135,26 @@ def _mid_budget(cfg_stored):
     return int((stored + defer) / 2 / _HEADROOM)
 
 
-def test_defer_auto_enables_over_capacity(monkeypatch):
+def test_defer_auto_enables_over_capacity(monkeypatch, mid30k,
+                                          mid30k_fit_1dev):
     """When the stored-R envelope exceeds the device budget but the
     deferred-R envelope fits, run_harmony auto-selects defer_r and
-    completes."""
+    completes. Uses the exact config of the shared mid30k fit so the
+    executable is already compiled — this test only exercises the
+    capacity-driven selection, not a new program."""
     from harmonypy_tpu.config import EngineConfig, default_nclust
-    X, meta = _problem(n=30_000, d=6)
-    cfg_stored = EngineConfig(N=30_000, d=6, K=default_nclust(30_000), B=3,
+    X, meta = mid30k
+    cfg_stored = EngineConfig(N=30_000, d=8, K=default_nclust(30_000), B=3,
                               n_devices=1, use_fused_xla=True,
                               chunk_size=1024)
     monkeypatch.setenv("HARMONYPY_DEVICE_MEM_BYTES",
                        str(_mid_budget(cfg_stored)))
-    ho = _run(X, meta, 1, max_iter_harmony=1)
+    ho = hm.run_harmony(X, meta, ["donor"], mesh=make_mesh(n_devices=1),
+                        verbose=False, max_iter_harmony=2)
     assert ho.cfg.defer_r
     assert np.all(np.isfinite(ho.Z_corr))
+    # The budget only influenced path selection: same config => same bits.
+    np.testing.assert_array_equal(ho.Z_corr, mid30k_fit_1dev.Z_corr)
 
 
 def test_defer_capacity_error_names_defer(monkeypatch):
@@ -164,20 +192,18 @@ def test_defer_zero_iteration_configs():
     np.testing.assert_allclose(R.sum(axis=1), 1.0, atol=1e-4)
 
 
-def test_pallas_defer_backend_matches_xla_defer():
+def test_pallas_defer_backend_matches_xla_defer(mid30k, mid30k_fit_1dev):
     """Deferred-R rounds can run through the Pallas kernel's no-R variant
     (single chip). On TPU hardware the two backends are bitwise identical
     (tools/bitwise_xpath.py); in CPU interpret mode the backend's dot
     implementations differ by batching shape — ulp-level only."""
     import jax
 
-    X, meta = _problem(n=30_000)
-    mesh = make_mesh(n_devices=1)
-    kw = dict(mesh=mesh, verbose=False, chunk_size=1024, max_iter_harmony=2)
-    hx = hm.run_harmony(X, meta, ["donor"], defer_r=True, use_pallas=False,
-                        **kw)
-    hp = hm.run_harmony(X, meta, ["donor"], defer_r=True, use_pallas=True,
-                        **kw)
+    X, meta = mid30k
+    hx = mid30k_fit_1dev            # XLA deferred fit, same config
+    hp = hm.run_harmony(X, meta, ["donor"], mesh=make_mesh(n_devices=1),
+                        verbose=False, max_iter_harmony=2,
+                        defer_r=True, use_pallas=True)
     assert hp.cfg.use_pallas and hp.cfg.defer_r
     if jax.devices()[0].platform == "tpu":  # pragma: no cover
         np.testing.assert_array_equal(hx.Z_corr, hp.Z_corr)
@@ -189,21 +215,22 @@ def test_pallas_defer_backend_matches_xla_defer():
         assert hx.kmeans_rounds == hp.kmeans_rounds
 
 
-def test_auto_chunk_size_mid_n():
+def test_auto_chunk_size_mid_n(mid30k, mid30k_fit_1dev):
     """chunk_size=None auto-selects a smaller chunk at mid N (20.5k..41k)
     so the fused E-step (and the deferred-R default) applies instead of the
     several-times-slower per-cell path — and the choice is a function of
-    (N, block_size) only, so the fit stays bitwise device-count-invariant."""
+    (N, block_size) only, so the fit stays bitwise device-count-invariant.
+    (The 1-device run is the shared mid30k fit; only the 8-device run is
+    fitted here.)"""
     from harmonypy_tpu.config import auto_chunk_size
     assert auto_chunk_size(858_000) == 2048
     assert auto_chunk_size(10_000) == 2048       # per-cell stays per-cell
     assert auto_chunk_size(30_000) == 1024
     assert auto_chunk_size(30_000, requested=512) == 512
-    X, meta = _problem(n=30_000, d=6)
-    runs = {nd: hm.run_harmony(X, meta, ["donor"],
-                               mesh=make_mesh(n_devices=nd),
-                               max_iter_harmony=2, verbose=False)
-            for nd in (1, 8)}
-    assert runs[1].cfg.fused_estep and runs[1].cfg.defer_r
-    assert runs[1].cfg.chunk_size == 1024
-    np.testing.assert_array_equal(runs[1].Z_corr, runs[8].Z_corr)
+    X, meta = mid30k
+    run1 = mid30k_fit_1dev
+    run8 = hm.run_harmony(X, meta, ["donor"], mesh=make_mesh(n_devices=8),
+                          max_iter_harmony=2, verbose=False)
+    assert run1.cfg.fused_estep and run1.cfg.defer_r
+    assert run1.cfg.chunk_size == 1024
+    np.testing.assert_array_equal(run1.Z_corr, run8.Z_corr)
