@@ -331,7 +331,15 @@ def _seeding_gate(S: int = 65_536, d: int = 29, K: int = 100,
 def _profile_phases(cfg, mesh, data, params, elapsed, iters, total_rounds):
     """Package profiler (harmonypy_tpu.utils.profiling.profile_fit) plus the
     bench-side accounting: how much of the measured wall-clock the phase
-    model explains."""
+    model explains.
+
+    accounted_frac semantics: the phases are measured through STANDALONE
+    probe programs (min-of-reps, dispatch-floor-subtracted) while `elapsed`
+    is one single-shot execution of the fused fit program — both sides
+    carry one-sided tunnel-dispatch jitter, so the ratio is a model check
+    with ~±5-10% noise, not an identity. Values in [0.9, 1.1] mean the
+    three-phase model explains the wall; a persistent excess beyond that
+    would indicate double-counted or overlapping phases (ADVICE r4)."""
     from harmonypy_tpu.utils.profiling import profile_fit
 
     res = profile_fit(

@@ -95,7 +95,17 @@ def measure(n: int = 131_072, n_queries: int = 16_384, d: int = 29,
             res["pruned_exact_ok"] = False
             return res
         cert = np.asarray(pres[2])
+        # First-call timing includes the pruned programs' compile; through
+        # a tunneled backend the server-side compile varies 30-130+ s for
+        # the same program (docs/warmup.md), which made this field swing
+        # 36-167 s across same-day runs (BENCH_r04 vs bench_postslab).
         res["pruned_knn_s"] = round(time.time() - t0, 2)
+        t0 = time.time()
+        pres2 = pruned_knn(Xd, k, index=index)
+        # Warm timing (programs compiled): the number that reflects the
+        # search itself and is comparable across rounds.
+        res["pruned_knn_warm_s"] = round(time.time() - t0, 2)
+        assert pres2 is not None
         res["pruned_cert_rate"] = round(float(np.mean(cert)), 4)
         pd_, _ = _drop_self_by_id(pres[0][:n_queries], pres[1][:n_queries],
                                   qid)

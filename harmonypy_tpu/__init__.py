@@ -10,6 +10,6 @@ the LISI evaluation metric is a vmapped on-device kernel.
 from .api import Harmony, run_harmony
 from .lisi import compute_lisi
 
-__version__ = "0.3.0"
+__version__ = "0.3.1"
 
 __all__ = ["Harmony", "run_harmony", "compute_lisi", "__version__"]

@@ -74,6 +74,19 @@ def estep_traffic_model_gb(cfg) -> float:
     return cfg.N * (4 * cfg.d + 4 * cfg.B + r_bytes * cfg.K) / 1e9
 
 
+def estep_vpu_floor_s(cfg, elementwise_ops_per_s: float = 3.8e12,
+                      ops_per_transcendental: float = 7.0) -> float:
+    """Transcendental-bound floor of one k-means round: the E-step evaluates
+    K·N `exp` (the softmax IS the algorithm) and, with the reference-form
+    objective, K·N `log` (the R·log R entropy term). This is the binding
+    resource of the deferred-R round (docs/deferred_roofline.md: HBM floor
+    73 µs, MXU floor 27 µs, VPU floor ~0.4 ms at 858k×100) — report the
+    round's position against it so the bench artifact certifies the
+    "near-floor" claim rather than the misleading HBM fraction."""
+    transcendentals = 2.0 * cfg.K * cfg.N
+    return transcendentals * ops_per_transcendental / elementwise_ops_per_s
+
+
 def profile_fit(cfg, mesh, data, params, key=None, reps: int = 16,
                 budget_s: float | None = None,
                 hbm_peak_gbps: float | None = None,
@@ -134,11 +147,18 @@ def profile_fit(cfg, mesh, data, params, key=None, reps: int = 16,
     def sync(out):
         int(np.asarray(jax.tree.leaves(out)[0].ravel()[0]))
 
-    def timed(fn, *a):
+    def timed(fn, *a, reps_min: int = 2):
+        """Min-of-reps timing after a warm-up execution. Dispatch jitter
+        through a tunnel is one-sided (delays only), so the min is the
+        estimator for every probe — single-shot probe timings previously
+        inflated the bench accounting by ~9% (ADVICE r4)."""
         sync(fn(*a))                                  # warm-up / compile
-        t0 = time.time()
-        sync(fn(*a))
-        return time.time() - t0
+        best = float("inf")
+        for _ in range(reps_min):
+            t0 = time.time()
+            sync(fn(*a))
+            best = min(best, time.time() - t0)
+        return best
 
     def iter_time(cfg_v):
         """Time iter_fn (fresh state per call: iter_fn donates). Dispatch
@@ -190,6 +210,14 @@ def profile_fit(cfg, mesh, data, params, key=None, reps: int = 16,
             # A differenced round implying more than peak HBM bandwidth is
             # dispatch jitter, not physics — flag instead of reporting it.
             res["estep_round_noisy"] = True
+        if cfg.defer_r:
+            # Deferred rounds are VPU-bound, not bandwidth-bound: report
+            # the round's position against the transcendental floor (the
+            # meaningful roofline for this path; the HBM fraction above is
+            # a lower bound on efficiency only).
+            vf = estep_vpu_floor_s(cfg)
+            res["estep_vpu_floor_s"] = float(f"{vf:.3g}")
+            res["estep_vpu_floor_frac"] = float(f"{vf / t_round:.3g}")
 
         if split_init:
             # Seeding-only program mirroring _init_impl's front half

@@ -104,9 +104,17 @@ def mid30k_fit_1dev(mid30k):
     X, meta = mid30k
     ho = hm.run_harmony(X, meta, ["donor"], mesh=make_mesh(n_devices=1),
                         verbose=False, max_iter_harmony=2)
+    return ho
+
+
+def test_mid30k_default_config_resolution(mid30k_fit_1dev):
+    """Default config resolution at N=30k: fused geometry, deferred-R,
+    auto chunk 1024, no Pallas. Kept OUT of the fixture so a resolution
+    regression fails this one test instead of erroring every fixture
+    consumer."""
+    ho = mid30k_fit_1dev
     assert ho.cfg.fused_estep and ho.cfg.defer_r
     assert ho.cfg.chunk_size == 1024 and not ho.cfg.use_pallas
-    return ho
 
 
 def test_defer_checkpoint_resume(tmp_path):

@@ -15,8 +15,10 @@ from harmonypy_tpu.utils.profiling import estep_traffic_model_gb, profile_fit
 def test_profile_fit_smoke():
     N, d, K, B = 512, 8, 6, 3
     mesh = make_mesh(n_devices=1)
+    # defer_r=True: the library-default storage strategy, which also adds
+    # the VPU-floor fields (the meaningful roofline for deferred rounds).
     cfg = EngineConfig(N=N, d=d, K=K, B=B, n_devices=1, use_fused_xla=True,
-                       chunk_size=64, block_size=0.25)
+                       chunk_size=64, block_size=0.25, defer_r=True)
     rng = np.random.default_rng(0)
     Z = rng.normal(size=(d, N)).astype(np.float32)
     batch = rng.integers(0, B, size=N)
@@ -30,11 +32,17 @@ def test_profile_fit_smoke():
 
     res = profile_fit(cfg, mesh, data, params, reps=3)
     for k in ("dispatch_s", "phase_init_s", "phase_kmeans_round_s",
-              "phase_ridge_s", "estep_hbm_gbps"):
+              "phase_ridge_s"):
         assert k in res, (k, res)
         assert res[k] >= 0.0
+    assert ("estep_hbm_gbps" in res) != ("estep_round_noisy" in res)
     assert "fused_xla_round_s" not in res  # only added for Pallas configs
     assert estep_traffic_model_gb(cfg) > 0.0
+    # VPU-floor fields: deferred configs only, floor consistent with the
+    # measured round.
+    assert res["estep_vpu_floor_s"] > 0.0
+    assert abs(res["estep_vpu_floor_frac"]
+               - res["estep_vpu_floor_s"] / res["phase_kmeans_round_s"]) < 0.1
 
     # budget exceeded -> partial result, no exception
     res2 = profile_fit(cfg, mesh, data, params, reps=3, budget_s=0.0)

@@ -61,16 +61,18 @@ def make_data(tmp):
     return pcs, meta
 
 
-def _enable_compile_cache(tmp: str):
-    """Per-run persistent compile cache shared by every subprocess: the
-    2-proc, 4-proc and single-process phases build the SAME 8-device SPMD
-    programs, so later phases load executables the earlier ones compiled
-    (cache hits return byte-identical executables — the bitwise
-    cross-topology assertions are unaffected). The cache lives inside the
-    run's tmp dir and dies with it."""
+def _enable_compile_cache(tmp: str, phase: str):
+    """Per-PHASE persistent compile cache: processes within one topology
+    phase (e.g. the two 2-proc workers) share a cache, but the 2-proc,
+    4-proc and single-process phases each get their own subdirectory, so
+    every topology compiles its executables fresh — the cross-topology
+    bitwise assertions verify independent compilations, not a cache replay
+    of the same executable bytes (the same reason conftest.py makes its
+    cache opt-in). The caches live inside the run's tmp dir and die with
+    it."""
     import jax
     from jax.experimental.compilation_cache import compilation_cache as cc
-    cc.set_cache_dir(os.path.join(tmp, "jax_cache"))
+    cc.set_cache_dir(os.path.join(tmp, f"jax_cache_{phase}"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
@@ -82,7 +84,7 @@ def worker(pid: int, tmp: str, nproc: int = 2):
         + f" --xla_force_host_platform_device_count={8 // nproc}")
     import jax
     jax.config.update("jax_platforms", "cpu")
-    _enable_compile_cache(tmp)
+    _enable_compile_cache(tmp, f"{nproc}proc")
     jax.distributed.initialize(f"localhost:{PORT}", num_processes=nproc,
                                process_id=pid)
     assert jax.process_count() == nproc, jax.process_count()
@@ -218,7 +220,7 @@ def single(tmp: str):
                                + " --xla_force_host_platform_device_count=8")
     import jax
     jax.config.update("jax_platforms", "cpu")
-    _enable_compile_cache(tmp)
+    _enable_compile_cache(tmp, "single")
     import numpy as np
     import pandas as pd
     import harmonypy_tpu as hm
