@@ -595,10 +595,16 @@ class HarmonyEngine:
         return lax.while_loop(cond, body, carry)
 
     def _iter_defer(self, state: HarmonyState, data: HarmonyData,
-                    params: HarmonyParams) -> HarmonyState:
+                    params: HarmonyParams, ZO3=None) -> HarmonyState:
         """Deferred-R harmony iteration: cluster (no-R rounds) + ridge by
         replaying the final round twice (normal equations; apply), all
-        chunk-resident (reference harmonize() body, harmony.py:421-428)."""
+        chunk-resident (reference harmonize() body, harmony.py:421-428).
+
+        ZO3: optional chunk-major Z_orig slab. Z_orig never changes, so
+        _fit_impl builds the slab once and threads it through every
+        iteration of the harmony while_loop (the reshape+transpose is a
+        ~2 ms copy at 858k that XLA does not hoist out of the loop body);
+        the per-iteration public entry point builds it locally."""
         cfg = self.cfg
         geom = partition_geometry(cfg)
         CH, nc1 = geom.CH, geom.nc_cap + 1
@@ -616,7 +622,8 @@ class HarmonyEngine:
                 carry.obj_kmeans[carry.n_kmeans - 1])
 
             # ---- ridge correction by replay (harmony.py:535-569) --------
-            ZO3 = Z_orig.reshape(cfg.d, nc1, CH).transpose(1, 0, 2)
+            if ZO3 is None:
+                ZO3 = Z_orig.reshape(cfg.d, nc1, CH).transpose(1, 0, 2)
             slots, granks, removal = round_tables(
                 carry.rep_key, carry.rep_cache, geom, AXIS)
             S = replay_normal_eq(
@@ -653,20 +660,28 @@ class HarmonyEngine:
         419-435): convergence-checked lax.while_loop over harmony iterations."""
         state = self._init_impl(data, params, key)
 
+        ZO3 = None
+        if self.cfg.defer_r:
+            # Loop-invariant chunk-major Z_orig slab, built once per fit
+            # (see _iter_defer).
+            geom = partition_geometry(self.cfg)
+            ZO3 = data.Z_orig.reshape(
+                self.cfg.d, geom.nc_cap + 1, geom.CH).transpose(1, 0, 2)
+
         def cond(s: HarmonyState):
             return jnp.logical_and(s.n_rounds < self.cfg.max_iter_harmony,
                                    jnp.logical_not(s.converged))
 
         return lax.while_loop(
-            cond, lambda s: self._iter_impl(s, data, params), state)
+            cond, lambda s: self._iter_impl(s, data, params, ZO3), state)
 
     def _iter_impl(self, state: HarmonyState, data: HarmonyData,
-                   params: HarmonyParams) -> HarmonyState:
+                   params: HarmonyParams, ZO3=None) -> HarmonyState:
         """One harmony iteration: cluster() + moe_correct_ridge() + type-1
         convergence check (reference harmonize() body, harmony.py:421-428)."""
         cfg = self.cfg
         if cfg.defer_r:
-            return self._iter_defer(state, data, params)
+            return self._iter_defer(state, data, params, ZO3)
         with jax.default_matmul_precision(cfg.matmul_precision):
             Z_orig, Phi, mask = data
 

@@ -265,12 +265,17 @@ def replay_normal_eq(slots, granks, removal, ZP3, ZO3, Y, sigma,
 
         a = g[:, :B1, :]
         zo = ZO3[slots_b]                                      # (Js, d, CH)
-        F = jnp.concatenate(
-            [(a[:, :, None, :] * a[:, None, :, :]).reshape(
-                a.shape[0], B1 * B1, -1),
-             (a[:, :, None, :] * zo[:, None, :, :]).reshape(
-                 a.shape[0], B1 * d, -1)], axis=1)             # (Js, F, CH)
-        S_c = jnp.einsum("jfc,jkc->jfk", F, r)                 # (Js, F, K)
+        # cov block: the (B1*B1, CH) design-product features are tiny.
+        Fa = (a[:, :, None, :] * a[:, None, :, :]).reshape(
+            a.shape[0], B1 * B1, -1)
+        Sa = jnp.einsum("jfc,jkc->jfk", Fa, r)                 # (Js, B1², K)
+        # rhs block: per design row b, the features a_b ⊙ Z_orig stay in
+        # the natural (d, CH) layout — the previous single stacked
+        # (B1*(B1+d), CH) feature slab forced a layout copy of ~1 MB/chunk
+        # around its GEMM (traced: copy.268, ~0.6 ms/pass at 858k).
+        Sz = [jnp.einsum("jdc,jkc->jdk", a[:, b, None, :] * zo, r)
+              for b in range(B1)]                              # B1×(Js, d, K)
+        S_c = jnp.concatenate([Sa] + Sz, axis=1)               # (Js, F, K)
         Sbuf = Sbuf.at[slots_b].set(S_c)
         return (O, E, Sbuf), None
 
@@ -294,7 +299,6 @@ def replay_apply(slots, granks, removal, ZP3, ZO3, W, Y, sigma,
     """
     geom = partition_geometry(cfg)
     K, d, B1 = cfg.K, cfg.d, cfg.B1
-    Wf = W.reshape(K, B1 * d)
 
     def body(carry, inp):
         O, E, Zc3, Zs3, ybuf = carry
@@ -305,11 +309,18 @@ def replay_apply(slots, granks, removal, ZP3, ZO3, W, Y, sigma,
         O, E = _block_readd(O, E, stats, granks_b, Pr_b, geom, axis_name)
 
         a = g[:, :B1, :]   # [mask; Phi] — pads stay exactly zero below
-        # T[c, b, :] = sum_k r[k, c] W[k, b, :] — one (CH, K) x (K, B1*d)
-        # GEMM per chunk, matching ridge's R^T W chunking.
-        T = jnp.einsum("jkc,kf->jcf", r, Wf).reshape(
-            r.shape[0], -1, B1, d)                             # (Js, CH, B1, d)
-        zc = ZO3[slots_b] - jnp.einsum("jbc,jcbd->jdc", a, T)  # (Js, d, CH)
+        # correction[d, c] = sum_b a[b, c] * (sum_k W[k, b, d] r[k, c]):
+        # one (d, K) x (K, CH) GEMM per design row, accumulated in
+        # ascending-b order. Same FLOPs as the previous single
+        # (CH, K) x (K, B1*d) GEMM but each partial lands in the natural
+        # (d, CH) output layout — the stacked form forced a ~1 MB/chunk
+        # layout copy of its (CH, B1*d) result (traced: copy.269,
+        # ~0.7 ms/pass at 858k) before the design-row contraction.
+        corr = a[:, 0, None, :] * jnp.einsum("kd,jkc->jdc", W[:, 0, :], r)
+        for b in range(1, B1):
+            corr = corr + (a[:, b, None, :]
+                           * jnp.einsum("kd,jkc->jdc", W[:, b, :], r))
+        zc = ZO3[slots_b] - corr                               # (Js, d, CH)
         # Same formula as normalize.l2_normalize_cols (bitwise-matching the
         # stored-R path's full-array normalization, harmony.py:569).
         norm = jnp.sqrt(jnp.sum(zc * zc, axis=1, keepdims=True))
