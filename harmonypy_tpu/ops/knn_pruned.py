@@ -149,17 +149,89 @@ def _build_impl(X, key, C: int, iters: int):
     return X[perm], sq[perm], perm, starts, counts, cent, radii, scale
 
 
+def _balance_split_host(Xs, sqs, perm, counts, cent, radii, cap: int):
+    """Split every cluster larger than `cap` by recursive median cut along
+    its max-variance axis (host NumPy; the build already reads counts back,
+    and the split only touches oversized clusters' members).
+
+    Why: every per-cluster query step is shaped by the STATIC p_max — its
+    top-k runs (p_max, V * p_max) regardless of true sizes, and the TopK
+    kernel is ~94% of the search (traced on v5e: 44 ms/cluster at
+    p_max=2090 where the mean cluster is 512 — the iid-init Lloyd build
+    leaves 4x size outliers on clumpy data). Median cuts keep the halves
+    spatially coherent, so sub-cluster radii shrink and the triangle-
+    inequality certificate keeps firing; ANY partition is correct (the
+    certificate never assumes how clusters were formed), balance only
+    buys speed. Split clusters get host-f64 centroids/radii with the same
+    validity inflation as the device build; untouched clusters keep their
+    device-computed values bit-for-bit."""
+    segs, cents, radiis = [], [], []
+    pos = 0
+    for c, cnt in enumerate(counts):
+        rows = np.arange(pos, pos + int(cnt)); pos += int(cnt)
+        if cnt <= cap:
+            segs.append(rows)
+            cents.append(cent[c]); radiis.append(radii[c])
+            continue
+        stack = [rows]
+        while stack:
+            rs = stack.pop()
+            if len(rs) > cap:
+                P = Xs[rs]
+                ax = int(np.argmax(P.var(axis=0)))
+                med = np.median(P[:, ax])
+                left = P[:, ax] <= med
+                if left.all() or not left.any():   # degenerate ties
+                    order = np.argsort(P[:, ax], kind="stable")
+                    half = len(rs) // 2
+                    stack.append(rs[order[:half]])
+                    stack.append(rs[order[half:]])
+                else:
+                    stack.append(rs[left])
+                    stack.append(rs[~left])
+            else:
+                segs.append(rs)
+                P = Xs[rs].astype(np.float64)
+                mu = P.mean(axis=0)
+                r = float(np.sqrt(((P - mu) ** 2).sum(axis=1)).max())
+                cents.append(mu.astype(Xs.dtype))
+                radiis.append(np.asarray(r * (1.0 + 1e-6) + 1e-6, Xs.dtype))
+    order = np.concatenate(segs)
+    new_counts = np.asarray([len(s) for s in segs], np.int32)
+    new_starts = np.concatenate(
+        [np.zeros((1,), np.int32),
+         np.cumsum(new_counts)[:-1].astype(np.int32)])
+    return (Xs[order], sqs[order], perm[order], new_starts, new_counts,
+            np.stack(cents).astype(Xs.dtype),
+            np.asarray(radiis, Xs.dtype))
+
+
+# p_max cap as a multiple of the mean cluster size (the floor keeps the
+# per-cluster GEMM/top-k windows MXU-shaped for tiny problems).
+_BALANCE_FACTOR = 1.3
+_BALANCE_MIN_CAP = 128
+
+
 def build_index(X: jnp.ndarray, n_clusters: int | None = None,
-                seed: int = 0) -> PrunedIndex:
+                seed: int = 0, balance: bool = True) -> PrunedIndex:
     """Cluster X (N, d) and lay it out (centered) for pruned search. One
     host readback (the (C,) counts) fixes the static per-cluster capacity
     P_max. n_clusters defaults to default_n_clusters(N) — callers that
     know their k should pass default_n_clusters(N, k) so clusters stay
-    comfortably larger than the neighbor count."""
+    comfortably larger than the neighbor count. balance=True splits
+    oversized clusters so p_max stays within ~1.3x the mean size (see
+    _balance_split_host)."""
     N, d = X.shape
     C = n_clusters or default_n_clusters(N)
     Xs, sqs, perm, starts, counts, cent, radii, scale = _build_impl(
         X, jax.random.PRNGKey(seed), C, _LLOYD_ITERS)
+    counts_h = np.asarray(counts)
+    cap = max(_BALANCE_MIN_CAP, int(np.ceil(_BALANCE_FACTOR * N / C)))
+    if balance and int(counts_h.max()) > cap:
+        parts = _balance_split_host(
+            np.asarray(Xs), np.asarray(sqs), np.asarray(perm), counts_h,
+            np.asarray(cent), np.asarray(radii), cap)
+        Xs, sqs, perm, starts, counts, cent, radii = map(jnp.asarray, parts)
     p_max = int(np.max(np.asarray(counts)))
     # Pad P_max rows so every dynamic_slice window [start, start + P_max)
     # is in bounds without clamping (clamping would misalign the

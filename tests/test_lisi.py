@@ -295,3 +295,39 @@ def test_pruned_knn_mesh_sharded_bitwise():
     np.testing.assert_array_equal(np.asarray(d1), np.asarray(d8))
     np.testing.assert_array_equal(np.asarray(i1), np.asarray(i8))
     np.testing.assert_array_equal(np.asarray(c1), np.asarray(c8))
+
+
+def test_pruned_index_balance_split():
+    """Oversized clusters are split at build time (the static p_max shapes
+    every per-cluster query step; the TopK kernel over (p_max, V*p_max) is
+    ~94% of the search — docs/hardware_r5). One dominant clump forces the
+    device Lloyd build into a size outlier; the balanced index must cap
+    p_max near the mean and stay EXACT vs brute."""
+    import jax.numpy as jnp
+    from harmonypy_tpu.lisi import _knn_batched, _knn_pruned
+    from harmonypy_tpu.ops.knn_pruned import (_BALANCE_FACTOR,
+                                              _BALANCE_MIN_CAP, build_index,
+                                              default_n_clusters)
+    rng = np.random.default_rng(9)
+    n = 6000
+    # 70% of points in ONE tight clump: iid centroid init + Lloyd leaves a
+    # big cluster there unless the build splits it.
+    clump = rng.standard_normal((int(n * 0.7), 4)) * 0.3
+    rest = _blobby(rng, n - clump.shape[0], 4, n_clumps=6)
+    X = np.concatenate([clump, rest]).astype(np.float32)
+    Xd = jnp.asarray(X)
+
+    C = default_n_clusters(n, 31)
+    raw = build_index(Xd, C, balance=False)
+    cap = max(_BALANCE_MIN_CAP, int(np.ceil(_BALANCE_FACTOR * n / C)))
+    assert raw.p_max > cap, "geometry did not produce an oversized cluster"
+    bal = build_index(Xd, C)
+    assert bal.p_max <= cap
+    counts = np.asarray(bal.counts)
+    assert int(counts.sum()) == n                 # a partition, nothing lost
+    assert np.array_equal(np.sort(np.asarray(bal.ids[:n])), np.arange(n))
+
+    qid = jnp.arange(n, dtype=jnp.int32)
+    pd_, _ = _knn_pruned(Xd, 30, qid)
+    bd_, _ = _knn_batched(Xd, Xd, 30, None, qid=qid)
+    _assert_same_distances(pd_, bd_, X)

@@ -65,12 +65,18 @@ def main():
         s = jnp.sort(d2, axis=1)
         return s[:, :k], None
 
+    def sync(out):
+        # block_until_ready returns early through remote-device tunnels;
+        # a scalar readback is the only real sync (see utils/profiling.py).
+        np.asarray(out[0].ravel()[0])
+
     def timeit(name, fn):
-        out = jax.block_until_ready(fn(d2))
+        out = fn(d2)
+        sync(out)
         best = float("inf")
         for _ in range(args.reps):
             t0 = time.time()
-            jax.block_until_ready(fn(d2))
+            sync(fn(d2))
             best = min(best, time.time() - t0)
         print(f"{name:10s} {best*1e3:8.2f} ms  (x256 clusters -> "
               f"{best*256:6.2f} s)")
@@ -86,3 +92,22 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def width_scaling(p=896, k=91, reps=5):
+    """Per-width lax.top_k cost: validates the early-exit design's merge
+    cost model (top_k over (P, k + p) per processed segment)."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+    rng = np.random.default_rng(0)
+    for w in (k + p, 2 * p, 4 * p, 8 * p, 16 * p, 32 * p):
+        d2 = jnp.asarray(rng.standard_normal((p, w)).astype(np.float32))
+        f = jax.jit(lambda x: lax.top_k(-x, k))
+        out = f(d2); np.asarray(out[0].ravel()[0])
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.time()
+            o = f(d2); np.asarray(o[0].ravel()[0])
+            best = min(best, time.time() - t0)
+        print(f"top_k ({p}, {w:6d}) k={k}: {best*1e3:7.2f} ms")
