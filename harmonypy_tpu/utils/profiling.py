@@ -201,7 +201,11 @@ def profile_fit(cfg, mesh, data, params, key=None, reps: int = 16,
         t_init = max(t_init_meas - d0, 0.0)
         round_gb = estep_traffic_model_gb(cfg)
         res["phase_init_s"] = round(t_init, 4)
-        res["phase_kmeans_round_s"] = round(t_round, 5)
+        # round_time floors at 1e-6, but 5-decimal rounding would flush a
+        # sub-5us CPU round back to exactly 0.0 — keep the floor visible so
+        # ratios against this field (e.g. the VPU-floor fraction) stay
+        # finite on any backend.
+        res["phase_kmeans_round_s"] = max(round(t_round, 5), 1e-6)
         frac = round_gb / t_round / hbm_peak_gbps
         if frac <= 1.0:
             res["estep_hbm_gbps"] = round(round_gb / t_round, 1)
