@@ -27,13 +27,13 @@ def main():
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
 
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
     from harmonypy_tpu.config import EngineConfig
     from harmonypy_tpu.engine import get_engine
     from harmonypy_tpu.state import HarmonyData, HarmonyParams
     from harmonypy_tpu.parallel.mesh import make_mesh, AXIS
-
-    import sys
-    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
     from bench import N_CELLS, N_PCS, N_BATCHES, K, _gen_host
 
     mesh = make_mesh(n_devices=1)

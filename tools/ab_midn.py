@@ -43,12 +43,12 @@ def main():
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
 
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
     from harmonypy_tpu.config import EngineConfig, default_nclust
     from harmonypy_tpu.engine import get_engine
     from harmonypy_tpu.parallel.mesh import AXIS, make_mesh
     from harmonypy_tpu.state import HarmonyData, HarmonyParams
-
-    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
     import bench
     from bench import N_BATCHES, _gen_host
 
